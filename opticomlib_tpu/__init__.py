@@ -1,0 +1,73 @@
+"""opticomlib_tpu — TPU-native optical communications simulation framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference ``opticomlib`` package (mounted read-only at /root/reference):
+the full transmit -> channel -> receive chain — PRBS, DAC pulse shaping,
+MZM/PM modulation, split-step Fourier NLSE fiber propagation, DBP
+equalization, PIN detection, Bessel filtering, eye/BER metrology — plus what
+the reference never had: a sharded multi-device runtime
+(:mod:`opticomlib_tpu.parallel`) that scales the waveform sample axis and
+WDM channels over a ``jax.sharding.Mesh`` with overlap-save halo exchange.
+
+Top-level API mirrors the reference's star-exports
+(reference opticomlib/__init__.py:1-2): the type system + utility layer,
+with ``devices``, ``ook``, ``ppm`` as submodules.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .params import SimParams, GlobalVariables, global_variables, gv
+from .signals import (
+    NULL, NULLType, Array_Like, RealNumber, ComplexNumber,
+    BinarySequence, ElectricalSignal, OpticalSignal,
+    binary_sequence, electrical_signal, optical_signal,
+)
+from .eyediag import Eye, eye, EyeShowOptions, eyediagram
+from .utils.analysis import (
+    db, dbm, idb, idbm, gaus, Q, phase, tau_g, dispersion, rcos, si, norm,
+    nearest, nearest_index, shortest_int, dec2bin, str2array, tic, toc,
+    get_time, bode, get_psd, phase_estimator,
+)
+from .utils.theory import (
+    p_ase, average_voltages, noise_variances, optimum_threshold, theory_BER,
+)
+from .ops.pulses import (
+    nrz_pulse, gauss_pulse, rcos_pulse, upfir, fft_convolve_same,
+    resample_fft,
+)
+
+from . import devices  # noqa: E402
+from . import ook      # noqa: E402
+from . import ppm      # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SimParams", "GlobalVariables", "global_variables", "gv",
+    "NULL", "NULLType", "Array_Like", "RealNumber", "ComplexNumber",
+    "BinarySequence", "ElectricalSignal", "OpticalSignal",
+    "binary_sequence", "electrical_signal", "optical_signal",
+    "Eye", "eye", "EyeShowOptions", "eyediagram",
+    "db", "dbm", "idb", "idbm", "gaus", "Q", "phase", "tau_g", "dispersion",
+    "rcos", "si", "norm", "nearest", "nearest_index", "shortest_int",
+    "dec2bin", "str2array", "tic", "toc", "get_time", "bode", "get_psd",
+    "phase_estimator",
+    "p_ase", "average_voltages", "noise_variances", "optimum_threshold",
+    "theory_BER",
+    "nrz_pulse", "gauss_pulse", "rcos_pulse", "upfir", "fft_convolve_same",
+    "resample_fft",
+    "devices", "ook", "ppm", "np",
+]
+
+# matplotlib is exported lazily for reference-script parity
+# (`from opticomlib import plt`); importing it eagerly would slow down
+# headless compute jobs.
+def __getattr__(name):
+    if name == "plt":
+        import matplotlib
+        import matplotlib.pyplot as plt
+        return plt
+    if name == "pi":
+        return np.pi
+    raise AttributeError(f"module 'opticomlib_tpu' has no attribute {name!r}")

@@ -1,0 +1,205 @@
+"""Pulse shaping and FFT-based resampling/convolution kernels.
+
+TPU-native DSP primitives replacing the reference's scipy pipeline:
+
+* pulse shapes   (reference opticomlib/utils.py:1791-1946)
+* ``upfir``      (reference opticomlib/utils.py:1949-1981; zero-stuff
+  upsampling + fftconvolve(mode='same'))
+* FFT resampling (scipy.signal.resample semantics, used by reference
+  devices.py:1745 GET_EYE and devices.py:1616 ADC)
+
+The convolutions run as XLA FFTs (jnp) so the TX chain jits end-to-end;
+the (tiny) filter taps are built host-side with NumPy and become constants
+under jit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "nrz_pulse", "gauss_pulse", "rcos_pulse",
+    "fft_convolve_same", "upsample_zero_stuff", "upfir", "resample_fft",
+]
+
+
+# ---------------------------------------------------------------------------
+# pulse shapes (host-side constants; reference utils.py:1791-1946)
+# ---------------------------------------------------------------------------
+def nrz_pulse(span: int, sps: int, T: float = 1) -> np.ndarray:
+    """Rectangular pulse of width ``T`` slots over ``span`` slots."""
+    N = span * sps
+    t = np.linspace(-span / 2, span / 2, N + 1)
+    return np.where((t >= -T / 2) & (t < T / 2), 1.0, 0.0)
+
+
+def gauss_pulse(span: int, sps: int, T: float = 1, m: int = 1,
+                c: float = 0.0) -> np.ndarray:
+    """(Super-)Gaussian pulse of FWHM ``T`` slots, order ``m``, chirp ``c``."""
+    N = span * sps
+    t = np.linspace(-span / 2, span / 2, N + 1)
+    alpha = 2 * np.sqrt(np.log(2)) / T
+    return np.exp(-((alpha * (1 + 1j * c) * t) ** (2 * m)))
+
+
+def rcos_pulse(beta: float, span: int, sps: int,
+               shape: str = "sqrt") -> np.ndarray:
+    """Raised-cosine / root-raised-cosine impulse response (MATLAB
+    ``rcosdesign`` semantics, incl. singularity handling)."""
+    if not (0 <= beta <= 1):
+        raise ValueError("beta must be in [0, 1]")
+    if shape.lower() not in ("sqrt", "normal"):
+        raise ValueError("shape must be 'sqrt' or 'normal'")
+
+    N = span * sps
+    t = np.linspace(-span / 2, span / 2, N + 1)
+
+    if beta == 0:
+        return np.sinc(t)
+
+    if shape.lower() == "normal":
+        sinc_t = np.sinc(t)
+        cos_t = np.cos(np.pi * beta * t)
+        den = 1 - (2 * beta * t) ** 2
+        p = np.divide(sinc_t * cos_t, den, out=np.zeros_like(den),
+                      where=den != 0)
+        sing = np.abs(den) < 1e-8
+        if np.any(sing):
+            p[sing] = (np.pi / 4) * np.sinc(1 / (2 * beta))
+        return p
+
+    # root raised cosine
+    t_abs = np.abs(t)
+    p = np.zeros_like(t)
+    mask_zero = t_abs < 1e-8
+    p[mask_zero] = (1 - beta) + 4 * beta / np.pi
+    t_sing = 1 / (4 * beta)
+    mask_sing = np.abs(t_abs - t_sing) < 1e-8
+    if np.any(mask_sing):
+        p[mask_sing] = (beta / np.sqrt(2)) * (
+            (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
+            + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta)))
+    mask = ~mask_zero & ~mask_sing
+    ti = t[mask]
+    num = (np.sin(np.pi * ti * (1 - beta))
+           + 4 * beta * ti * np.cos(np.pi * ti * (1 + beta)))
+    den = np.pi * ti * (1 - (4 * beta * ti) ** 2)
+    p[mask] = num / den
+    return p
+
+
+# ---------------------------------------------------------------------------
+# FFT convolution / upsampling (XLA path)
+# ---------------------------------------------------------------------------
+def _next_fast_len(n: int) -> int:
+    """Next 5-smooth length >= n (FFT-friendly)."""
+    if n <= 2:
+        return n
+    best = 1 << (n - 1).bit_length()  # fallback: next pow2
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            x = p35
+            while x < n:
+                x *= 2
+            if x < best:
+                best = x
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def _xp(*arrays):
+    """Array namespace dispatch: jnp when any input is a jax array (keeps
+    the op jit-traceable / device-resident), NumPy float64 otherwise (host
+    parity path for the device-compatibility layer)."""
+    return jnp if any(isinstance(a, jax.Array) for a in arrays) else np
+
+
+def fft_convolve_same(x, h):
+    """Linear convolution of ``x`` (last axis) with 1-D kernel ``h``,
+    returning the central ``len(x)`` samples (scipy ``mode='same'``)."""
+    xp = _xp(x, h)
+    x = xp.asarray(x)
+    h = xp.asarray(h)
+    n = x.shape[-1]
+    m = h.shape[-1]
+    nfft = _next_fast_len(n + m - 1)
+
+    complex_out = np.iscomplexobj(x) or np.iscomplexobj(h)
+    if complex_out:
+        y = xp.fft.ifft(xp.fft.fft(x, nfft, axis=-1)
+                        * xp.fft.fft(h, nfft), axis=-1)
+    else:
+        y = xp.fft.irfft(xp.fft.rfft(x, nfft, axis=-1)
+                         * xp.fft.rfft(h, nfft), nfft, axis=-1)
+    start = (m - 1) // 2
+    return y[..., start:start + n]
+
+
+def upsample_zero_stuff(x, up: int):
+    """Insert ``up-1`` zeros between samples, with the reference's phase
+    offset of ``up//2`` (reference utils.py:1975-1977)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    n = x.shape[-1]
+    if xp is jnp:
+        dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float32
+        xu = jnp.zeros(x.shape[:-1] + (n, up), dtype=dtype)
+        xu = xu.at[..., :, up // 2].set(x)
+    else:
+        dtype = x.dtype if np.issubdtype(x.dtype, np.inexact) else np.float64
+        xu = np.zeros(x.shape[:-1] + (n, up), dtype=dtype)
+        xu[..., :, up // 2] = x
+    return xu.reshape(x.shape[:-1] + (n * up,))
+
+
+def upfir(x, h, up: int = 1):
+    """Zero-stuff upsample by ``up`` then FIR filter (mode='same').
+
+    MATLAB ``upfirdn``-style (reference utils.py:1949-1981)."""
+    xu = upsample_zero_stuff(x, up) if up > 1 else x
+    return fft_convolve_same(xu, h)
+
+
+def resample_fft(x, num: int):
+    """FFT-domain resampling with ``scipy.signal.resample`` semantics
+    (Nyquist-bin splitting on even lengths).  Real input -> real output."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    n = x.shape[-1]
+    if num == n:
+        return x
+    was_real = not np.iscomplexobj(x)
+    X = xp.fft.fft(x, axis=-1)
+    N = min(num, n)
+    nyq = N // 2 + 1
+    if xp is jnp:
+        Y = jnp.zeros(x.shape[:-1] + (num,), dtype=X.dtype)
+        Y = Y.at[..., :nyq].set(X[..., :nyq])
+        if N > 2:
+            Y = Y.at[..., num - (N - nyq):].set(X[..., n - (N - nyq):])
+        if N % 2 == 0:
+            if num < n:
+                Y = Y.at[..., N // 2].add(X[..., n - N // 2])
+            else:
+                Y = Y.at[..., N // 2].multiply(0.5)
+                Y = Y.at[..., num - N // 2].set(Y[..., N // 2])
+    else:
+        Y = np.zeros(x.shape[:-1] + (num,), dtype=X.dtype)
+        Y[..., :nyq] = X[..., :nyq]
+        if N > 2:
+            Y[..., num - (N - nyq):] = X[..., n - (N - nyq):]
+        if N % 2 == 0:
+            if num < n:
+                Y[..., N // 2] += X[..., n - N // 2]
+            else:
+                Y[..., N // 2] *= 0.5
+                Y[..., num - N // 2] = Y[..., N // 2]
+    y = xp.fft.ifft(Y, axis=-1) * (num / n)
+    return y.real if was_real else y

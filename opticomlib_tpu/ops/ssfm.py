@@ -1,0 +1,263 @@
+"""Split-step Fourier NLSE propagation engine (the framework's hot kernel).
+
+TPU-native re-design of the reference's ``FIBER`` solver
+(reference: opticomlib/devices.py:1038-1206): symmetric NL-L-NL scheme with
+the nonlinear operator frozen at the step start, adaptive step size limited
+by the maximum nonlinear phase rotation (Sinkin et al. 2003, as in the
+reference, devices.py:1156/1193-1196).
+
+Differences from the reference (CuPy/NumPy host loop):
+
+* the whole propagation loop lives **inside** ``jax.jit`` as a
+  ``lax.while_loop`` (adaptive) or ``lax.scan`` (fixed step schedule) —
+  zero host<->device synchronization per step, vs one device round-trip per
+  step in the reference's Python ``while`` loop;
+* ``complex64`` math throughout, matching the reference's dtype choice
+  (devices.py:1137-1147);
+* the per-step global ``max|A|^2`` reduction is a plain ``jnp.max`` — on a
+  sharded array XLA lowers it to an all-reduce(max) over the mesh, which is
+  exactly the collective the adaptive scheme requires.
+
+**Planar jit boundaries.** TPUs have no native complex type; on this
+runtime complex arrays cannot cross the host<->device or program boundary
+at all.  Every jitted entry point therefore takes and returns *planar*
+float32 (re, im) pairs and forms ``complex64`` internally with
+``jax.lax.complex`` — which is also the layout XLA prefers (no
+interleave/deinterleave shuffles around the FFT).
+
+Step count scales as ``gamma * maxP * L / phi_max``; each step costs two
+complex FFTs of the full window plus a handful of fused pointwise ops.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["linear_operator", "ssfm_propagate", "ssfm_step_schedule",
+           "dispersive_step"]
+
+_LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
+
+
+def linear_operator(w_rad_s: np.ndarray, alpha_db_km: float, beta2: float,
+                    beta3: float) -> np.ndarray:
+    """Frequency-domain linear operator D(w) [1/km], natural FFT order.
+
+    ``D = -alpha/2 + i*beta2/2*w^2 + i*beta3/6*w^3`` with w in rad/ps,
+    alpha in 1/km (from dB/km), beta2 [ps^2/km], beta3 [ps^3/km]
+    (reference devices.py:1137-1145).
+    """
+    w = np.asarray(w_rad_s, dtype=np.float64) * 1e-12  # rad/ps
+    alpha = alpha_db_km / _LOG10E_X10
+    D = -alpha / 2 + 1j * beta2 / 2 * w**2 + 1j * beta3 / 6 * w**3
+    return D.astype(np.complex64)
+
+
+def _nl_l_nl_step(A, D, h, gamma):
+    """One symmetric NL-L-NL split step (nonlinear operator frozen at step
+    start, as in reference devices.py:1172-1196)."""
+    phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+    half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    A = A * half_nl
+    A = jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * jnp.exp(D * h), axis=-1)
+    return A * half_nl
+
+
+@partial(jax.jit, static_argnames=("adaptive",))
+def _ssfm_loop(Are, Aim, Dre, Dim, length, gamma, phi_max, h0,
+               adaptive: bool):
+    """while_loop SSFM on planar inputs: returns (re, im, n_steps)."""
+    A = jax.lax.complex(Are, Aim)
+    D = jax.lax.complex(Dre, Dim)
+    length = jnp.float32(length)
+    gamma = jnp.float32(gamma)
+    phi_max = jnp.float32(phi_max)
+
+    # Minimum step: float32 z-accumulation stalls when h < ulp(z), so clamp
+    # steps to >~ length*2^-23; the bounded overshoot (<1e-7 of the span) is
+    # physically negligible and the loop is guaranteed to terminate.
+    h_floor = length * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(4_000_000)  # runaway backstop
+
+    def cond(carry):
+        _, z, _, steps = carry
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(carry):
+        A, z, h, steps = carry
+        z = z + h
+        A = _nl_l_nl_step(A, D, h, gamma)
+        if adaptive:
+            maxP = jnp.max(A.real * A.real + A.imag * A.imag)
+            h_next = phi_max / (jnp.abs(gamma) * maxP)
+        else:
+            h_next = h0
+        h_next = jnp.minimum(h_next, length - z)
+        h_next = jnp.maximum(h_next, h_floor)
+        return (A, z, h_next.astype(jnp.float32), steps + 1)
+
+    h_init = jnp.minimum(jnp.float32(h0), length)
+    A, z, h, steps = jax.lax.while_loop(
+        cond, body, (A, jnp.float32(0.0), h_init, jnp.int32(0)))
+    return A.real, A.imag, steps
+
+
+@jax.jit
+def _ssfm_scan(Are, Aim, Dre, Dim, hs, gamma):
+    """Fixed-schedule SSFM via lax.scan on planar inputs (known number of
+    steps)."""
+    A = jax.lax.complex(Are, Aim)
+    D = jax.lax.complex(Dre, Dim)
+    gamma = jnp.float32(gamma)
+
+    def step(A, h):
+        return _nl_l_nl_step(A, D, h, gamma), None
+
+    A, _ = jax.lax.scan(step, A, hs)
+    return A.real, A.imag
+
+
+def ssfm_step_schedule(length: float, h: float) -> np.ndarray:
+    """Fixed step schedule: ``h``-sized steps plus a final remainder,
+    replicating the reference's ``min(h, length - z)`` clipping in fixed-step
+    mode (devices.py:1196)."""
+    n_full = int(math.floor(length / h + 1e-9))
+    rem = length - n_full * h
+    hs = [h] * n_full
+    if rem > 1e-9 * max(length, 1.0):
+        hs.append(rem)
+    if not hs:
+        hs = [length]
+    return np.asarray(hs, dtype=np.float32)
+
+
+def dispersive_step(A, D, h):
+    """Pure linear step: ``ifft(fft(A) * exp(D*h))`` (used by DM and the
+    gamma==0 shortcut, reference devices.py:1027-1029 and 1156).  Complex
+    in/out — call only inside jit or on CPU."""
+    return jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * jnp.exp(D * h), axis=-1)
+
+
+def _split(A) -> Tuple[np.ndarray, np.ndarray]:
+    A = np.asarray(A, dtype=np.complex64)
+    return (np.ascontiguousarray(A.real, dtype=np.float32),
+            np.ascontiguousarray(A.imag, dtype=np.float32))
+
+
+def ssfm_propagate(
+    A,
+    w_rad_s: np.ndarray,
+    length: float,
+    alpha: float = 0.0,
+    beta_2: float = 0.0,
+    beta_3: float = 0.0,
+    gamma: float = 0.0,
+    phi_max: float = 0.01,
+    h: Optional[float] = None,
+    return_steps: bool = False,
+    planar_in: Optional[Tuple] = None,
+):
+    """Propagate field ``A`` (complex, last axis = time) through ``length``
+    km of fiber.  Drop-in behavioral equivalent of reference
+    devices.py:1038-1206.
+
+    ``A`` is a *host* complex array (or pass ``planar_in=(re, im)`` device
+    float32 arrays and ``A=None`` to keep everything on-device).  Returns a
+    host complex64 ndarray, or the planar jax array pair when ``planar_in``
+    was used, or ``(z, A_z)`` trajectory arrays when ``return_steps=True``.
+    """
+    if planar_in is not None:
+        Are, Aim = planar_in
+        A_host = None
+    else:
+        A_host = np.asarray(A, dtype=np.complex64)
+        Are, Aim = _split(A_host)
+    D = linear_operator(w_rad_s, alpha, beta_2, beta_3)
+    Dre, Dim = _split(D)
+
+    linear_only = (beta_2 == 0 and beta_3 == 0) or gamma == 0
+
+    def _out(re, im):
+        if planar_in is not None:
+            return re, im
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    if return_steps:
+        if A_host is None:
+            raise ValueError("return_steps requires a host input array")
+        return _ssfm_trajectory(A_host, D, length, gamma, phi_max, h,
+                                linear_only)
+
+    if h is not None:
+        hs = jnp.asarray(ssfm_step_schedule(length, h))
+        re, im = _ssfm_scan(Are, Aim, Dre, Dim, hs, gamma)
+        return _out(re, im)
+
+    if linear_only:
+        # single step over the whole span (reference h0 = length)
+        hs = jnp.asarray([length], dtype=jnp.float32)
+        re, im = _ssfm_scan(Are, Aim, Dre, Dim, hs, gamma)
+        return _out(re, im)
+
+    # adaptive: initial step from the input peak power (host probe when the
+    # input came from host; jitted probe for device-resident planar input)
+    if A_host is not None:
+        maxP0 = float(np.max(A_host.real**2 + A_host.imag**2))
+    else:
+        maxP0 = float(_planar_max_power(Are, Aim))
+    h0 = min(phi_max / (abs(gamma) * maxP0), length)
+    re, im, _ = _ssfm_loop(Are, Aim, Dre, Dim, length, gamma, phi_max, h0,
+                           adaptive=True)
+    return _out(re, im)
+
+
+@jax.jit
+def _planar_max_power(re, im):
+    return jnp.max(re * re + im * im)
+
+
+def _ssfm_trajectory(A_np, D, length, gamma, phi_max, h, linear_only):
+    """Host-stepped variant capturing (z, A(z)) — a state-capture /
+    checkpoint hook (reference devices.py:1149-1202 ``return_steps``).
+    Planar at every program boundary."""
+
+    @jax.jit
+    def step_jit(re, im, dre, dim, h_, g):
+        A = _nl_l_nl_step(jax.lax.complex(re, im),
+                          jax.lax.complex(dre, dim), h_, g)
+        return A.real, A.imag
+
+    Dre, Dim = _split(D)
+
+    def _max_power(A_np):
+        return float(np.max(A_np.real**2 + A_np.imag**2))
+
+    re, im = _split(A_np)
+    z_list = [0.0]
+    A_list = [A_np]
+    z = 0.0
+    if linear_only and h is None:
+        h_ = float(length)
+    elif h is None:
+        h_ = min(phi_max / (abs(gamma) * _max_power(A_np)), length)
+    else:
+        h_ = min(float(h), length)
+
+    while z < length:
+        z += h_
+        re, im = step_jit(re, im, Dre, Dim, jnp.float32(h_),
+                          jnp.float32(gamma))
+        A_np = np.asarray(re) + 1j * np.asarray(im)
+        z_list.append(z)
+        A_list.append(A_np)
+        if h is None and not linear_only:
+            h_ = phi_max / (abs(gamma) * _max_power(A_np))
+        h_ = min(h_, length - z)
+        if h_ <= 0:
+            break
+    return np.asarray(z_list), np.asarray(A_list)

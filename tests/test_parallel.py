@@ -1,0 +1,145 @@
+"""Sharded-runtime tests on an 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8).
+
+Acceptance criterion from SURVEY.md section 7.5: sharded overlap-save SSFM
+must match the single-device SSFM within tolerance."""
+import jax
+import numpy as np
+import pytest
+
+from opticomlib_tpu.ops import ssfm
+from opticomlib_tpu.parallel.fiber import (
+    make_link_mesh, shard_waveform, ssfm_sharded,
+)
+from opticomlib_tpu.parallel.halo import halo_width
+
+
+def _wgrid(n, fs):
+    return 2 * np.pi * np.fft.fftfreq(n) * fs
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, "tests need 8 virtual CPU devices"
+    return devs
+
+
+def test_halo_width_scaling():
+    h1 = halo_width(0.1, -20.0, 0.0, 640e9)
+    h2 = halo_width(0.2, -20.0, 0.0, 640e9)
+    assert h2 >= h1
+    assert halo_width(0.1, 0.0, 0.0, 640e9) == 8  # floor
+
+
+def test_mesh_construction(devices):
+    mesh = make_link_mesh(n_wdm=2, n_time=4)
+    assert mesh.shape["wdm"] == 2 and mesh.shape["time"] == 4
+    mesh1 = make_link_mesh(n_wdm=1)
+    assert mesh1.shape["time"] == len(devices)
+    with pytest.raises(ValueError):
+        make_link_mesh(n_wdm=16, n_time=16)
+
+
+def test_sharded_matches_single_device_linear(devices):
+    """Pure dispersion: sharded overlap-save == global FFT within the
+    truncation tolerance."""
+    n = 2**14
+    fs = 160e9
+    rng = np.random.default_rng(0)
+    # band-limited input (oversampled NRZ-ish) so halo truncation is valid
+    bits = rng.integers(0, 2, n // 16).astype(float)
+    x = np.repeat(bits, 16)
+    from scipy.ndimage import gaussian_filter1d
+    A = gaussian_filter1d(x, 4).astype(np.complex64) * 0.2
+
+    single = np.asarray(ssfm.ssfm_propagate(
+        A, _wgrid(n, fs), length=10, alpha=0.2, beta_2=-20, h=1.0))
+
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = np.asarray(ssfm_sharded(
+        A, mesh, fs=fs, length=10, alpha=0.2, beta_2=-20, h=1.0))
+
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=2e-4)
+
+
+def test_sharded_matches_single_device_nonlinear(devices):
+    """Full NLSE (dispersion + Kerr + attenuation)."""
+    n = 2**14
+    fs = 160e9
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, n // 16).astype(float)
+    from scipy.ndimage import gaussian_filter1d
+    A = gaussian_filter1d(np.repeat(bits, 16), 4).astype(np.complex64) * 0.3
+
+    kw = dict(length=20, alpha=0.2, beta_2=-20, gamma=1.3, h=0.5)
+    single = np.asarray(ssfm.ssfm_propagate(A, _wgrid(n, fs), **kw))
+
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, **kw))
+
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-4)
+
+
+def test_sharded_wdm_channels(devices):
+    """(channels, samples) input sharded over ('wdm', 'time')."""
+    n = 2**13
+    fs = 160e9
+    rng = np.random.default_rng(2)
+    from scipy.ndimage import gaussian_filter1d
+    A = np.stack([
+        gaussian_filter1d(np.repeat(rng.integers(0, 2, n // 16).astype(float),
+                                    16), 4) * 0.2
+        for _ in range(2)]).astype(np.complex64)
+
+    kw = dict(length=10, alpha=0.2, beta_2=-20, gamma=1.0, h=1.0)
+    mesh = make_link_mesh(n_wdm=2, n_time=4)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, **kw))
+
+    for ch in range(2):
+        single = np.asarray(ssfm.ssfm_propagate(A[ch], _wgrid(n, fs), **kw))
+        scale = np.max(np.abs(single))
+        np.testing.assert_allclose(sharded[ch] / scale, single / scale,
+                                   atol=5e-4)
+
+
+def test_sharded_input_validation(devices):
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    A = np.zeros(1000, dtype=np.complex64)  # not divisible by 8
+    with pytest.raises(ValueError):
+        ssfm_sharded(A, mesh, fs=160e9, length=10, beta_2=-20, h=1.0)
+    # overlap method: halo larger than block
+    A = np.zeros(2**10, dtype=np.complex64)
+    with pytest.raises(ValueError):
+        ssfm_sharded(A, mesh, fs=10e12, length=10, beta_2=-2000, h=10.0,
+                     method="overlap")
+    # pencil method: block not divisible by shard count
+    A = np.zeros(8 * 12, dtype=np.complex64)  # 12 % 8 != 0
+    with pytest.raises(ValueError):
+        ssfm_sharded(A, mesh, fs=160e9, length=10, beta_2=-20, h=1.0,
+                     method="pencil")
+    with pytest.raises(ValueError):
+        ssfm_sharded(np.zeros(2**13, dtype=np.complex64), mesh, fs=160e9,
+                     length=10, beta_2=-20, h=1.0, method="nope")
+
+
+def test_sharded_overlap_method_approximate(devices):
+    """The cheap overlap-save path stays within its documented ~1/H^2
+    truncation error for a band-limited input."""
+    n = 2**14
+    fs = 160e9
+    rng = np.random.default_rng(3)
+    from scipy.ndimage import gaussian_filter1d
+    A = gaussian_filter1d(
+        np.repeat(rng.integers(0, 2, n // 16).astype(float), 16),
+        4).astype(np.complex64) * 0.2
+
+    kw = dict(length=10, alpha=0.2, beta_2=-20, h=1.0)
+    single = np.asarray(ssfm.ssfm_propagate(A, _wgrid(n, fs), **kw))
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, method="overlap",
+                                      halo_safety=16.0, **kw))
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-3)

@@ -24,10 +24,12 @@ from .signals import (
     binary_sequence, electrical_signal, optical_signal,
 )
 from .eyediag import Eye, eye, EyeShowOptions, eyediagram
+from .logger import HierLogger, hlog
 from .utils.analysis import (
     db, dbm, idb, idbm, gaus, Q, phase, tau_g, dispersion, rcos, si, norm,
     nearest, nearest_index, shortest_int, dec2bin, str2array, tic, toc,
     get_time, bode, get_psd, phase_estimator,
+    apply_optimized_gaussian_filter,
 )
 from .utils.theory import (
     p_ase, average_voltages, noise_variances, optimum_threshold, theory_BER,
@@ -38,6 +40,7 @@ from .ops.pulses import (
 )
 
 from . import devices  # noqa: E402
+from . import lab      # noqa: E402
 from . import ook      # noqa: E402
 from . import ppm      # noqa: E402
 
@@ -52,12 +55,13 @@ __all__ = [
     "db", "dbm", "idb", "idbm", "gaus", "Q", "phase", "tau_g", "dispersion",
     "rcos", "si", "norm", "nearest", "nearest_index", "shortest_int",
     "dec2bin", "str2array", "tic", "toc", "get_time", "bode", "get_psd",
-    "phase_estimator",
+    "phase_estimator", "apply_optimized_gaussian_filter",
+    "HierLogger", "hlog",
     "p_ase", "average_voltages", "noise_variances", "optimum_threshold",
     "theory_BER",
     "nrz_pulse", "gauss_pulse", "rcos_pulse", "upfir", "fft_convolve_same",
     "resample_fft",
-    "devices", "ook", "ppm", "np",
+    "devices", "lab", "ook", "ppm", "np",
 ]
 
 # matplotlib is exported lazily for reference-script parity

@@ -37,6 +37,7 @@ __all__ = [
     "rcos", "si", "norm", "nearest", "nearest_index",
     "shortest_int", "dec2bin", "str2array",
     "tic", "toc", "get_time", "bode", "get_psd", "phase_estimator",
+    "apply_optimized_gaussian_filter",
 ]
 
 
@@ -418,3 +419,33 @@ def bode(H: np.ndarray, fs: float, f0: float = None, grid: bool = True,
         plt.show()
     if ret:
         return fig, axs
+
+
+def apply_optimized_gaussian_filter(t: np.ndarray, signal: np.ndarray,
+                                    T_bit: float) -> np.ndarray:
+    """NRZ Gaussian smoothing with the BER-optimal width ``sigma =
+    0.139 * T_bit`` (reference utils.py:1541-1590).
+
+    The kernel spans ~6 sigma (odd length, >= 3 taps, capped at the signal
+    length) and the output is renormalized so a full-swing NRZ transition
+    keeps its amplitude.
+    """
+    t = np.asarray(t, dtype=float)
+    signal = np.asarray(signal, dtype=float)
+    dt = t[1] - t[0]
+    if dt <= 0:
+        raise ValueError("Time step dt must be positive.")
+
+    sigma_pts = T_bit * 0.139 / dt
+    ksize = int(6 * sigma_pts) | 1  # odd
+    ksize = max(ksize, 3)
+    ksize = min(ksize, max(3, (len(signal) - 2) | 1))
+
+    k = np.arange(ksize) - ksize // 2
+    kernel = np.exp(-0.5 * (k / sigma_pts) ** 2)
+    kernel /= kernel.sum()
+    out = np.convolve(signal, kernel, mode="same")
+    peak = np.max(np.abs(out))
+    if peak > 0:
+        out = out * (np.max(np.abs(signal)) / peak)
+    return out

@@ -132,3 +132,47 @@ def test_get_psd_sinusoid():
     ipk = np.argmax(p[f > 0]) + np.sum(f <= 0)
     assert abs(f[ipk] - f0) < fs / 2048 * 2
     assert np.isclose(p[ipk], 1.0, rtol=0.05)  # (A/2)^2 = 1
+
+
+def test_apply_optimized_gaussian_filter():
+    from opticomlib_tpu import apply_optimized_gaussian_filter
+    fs = 16e9
+    T_bit = 1e-9
+    t = np.arange(1600) / fs
+    bits = np.tile([0.0, 1, 1, 0, 1, 0, 0, 1, 0, 1], 10)
+    x = np.repeat(bits, 16)
+    y = apply_optimized_gaussian_filter(t, x, T_bit)
+    assert y.shape == x.shape
+    # amplitude preserved, transitions smoothed (reduced slew rate)
+    assert np.isclose(np.max(np.abs(y)), 1.0, rtol=1e-6)
+    assert np.max(np.abs(np.diff(y))) < np.max(np.abs(np.diff(x)))
+    with pytest.raises(ValueError):
+        apply_optimized_gaussian_filter(t[::-1], x, T_bit)
+
+
+def test_hier_logger(capsys):
+    import logging
+    from opticomlib_tpu import HierLogger
+    hl = HierLogger("test_hier")
+    hl.logger.handlers.clear()
+    handler = logging.StreamHandler()
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    hl.logger.addHandler(handler)
+    hl.logger.propagate = False
+    hl.setLevel(logging.DEBUG)
+
+    @hl.auto_indent
+    def inner():
+        hl.debug("inner body")
+
+    @hl.auto_indent
+    def outer():
+        inner()
+
+    outer()
+    err = capsys.readouterr().err
+    lines = [l for l in err.splitlines() if l]
+    # top-level call flush left, nested call one level in
+    assert lines[0].startswith("/> ")
+    assert any(l.startswith("|   /> inner") for l in lines)
+    assert any(l.startswith("|   |   /> inner body") for l in lines)

@@ -1,0 +1,158 @@
+"""Checkpoint/resume for long fiber propagations.
+
+State = (z position [km], planar field (re, im), physics config hash,
+monotonic step counter).  Saves are atomic (write-to-temp + rename) so a
+crash mid-save never corrupts the latest checkpoint, and each save is a
+separate file so the *previous* checkpoint survives a crash too.  The
+arrays are written with NumPy's npz container — host-side, framework-free,
+and loadable anywhere.
+
+Why not save mid-step: the SSFM loop runs entirely on-device inside jit;
+checkpoints happen at segment boundaries (every ``segment_km``) where the
+field is well-defined.  For sharded runs, callers materialize per-host
+shards and save them with ``shard=`` so each host writes only its slice
+(standard JAX multi-host checkpoint pattern — fail-fast, restart from the
+last segment; SURVEY.md §5.3).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import zipfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable"]
+
+
+def _config_fingerprint(cfg: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class PropagationCheckpointer:
+    """Atomic, versioned (z, field) checkpoints in a directory."""
+
+    def __init__(self, directory: str, config: Optional[dict] = None,
+                 shard: Optional[int] = None, keep: int = 2):
+        self.dir = directory
+        self.fingerprint = _config_fingerprint(config or {})
+        self.shard = shard
+        self.keep = max(1, keep)
+        os.makedirs(directory, exist_ok=True)
+
+    def _name(self, step: int) -> str:
+        shard = "" if self.shard is None else f".shard{self.shard}"
+        return f"ckpt_{step:08d}{shard}.npz"
+
+    def save(self, step: int, z: float, re: np.ndarray, im: np.ndarray,
+             extra: Optional[dict] = None) -> str:
+        """Atomically write checkpoint ``step`` and prune old ones."""
+        path = os.path.join(self.dir, self._name(step))
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(
+                    f, z=np.float64(z), re=np.asarray(re),
+                    im=np.asarray(im), step=np.int64(step),
+                    fingerprint=np.bytes_(self.fingerprint.encode()),
+                    extra=np.bytes_(json.dumps(extra or {}).encode()))
+            os.replace(tmp, path)  # atomic on POSIX
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        self._prune()
+        return path
+
+    def _steps(self):
+        shard = "" if self.shard is None else f".shard{self.shard}"
+        out = []
+        for fn in os.listdir(self.dir):
+            if fn.startswith("ckpt_") and fn.endswith(f"{shard}.npz"):
+                try:
+                    out.append(int(fn[5:13]))
+                except ValueError:
+                    continue
+        return sorted(set(out))
+
+    def _prune(self):
+        steps = self._steps()
+        for s in steps[:-self.keep]:
+            try:
+                os.unlink(os.path.join(self.dir, self._name(s)))
+            except OSError:
+                pass
+
+    def latest(self) -> Optional[Tuple[int, float, np.ndarray, np.ndarray,
+                                       dict]]:
+        """Most recent valid checkpoint as (step, z, re, im, extra), or
+        None.  A checkpoint written for a different physics config is
+        rejected (fingerprint mismatch -> ValueError)."""
+        for step in reversed(self._steps()):
+            path = os.path.join(self.dir, self._name(step))
+            try:
+                with np.load(path) as d:
+                    fp = bytes(d["fingerprint"]).decode()
+                    payload = (int(d["step"]), float(d["z"]), d["re"].copy(),
+                               d["im"].copy(),
+                               json.loads(bytes(d["extra"]).decode()))
+            except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+                # truncated/corrupt archive (np.load raises BadZipFile or
+                # ValueError): fall back to the previous checkpoint
+                continue
+            if fp != self.fingerprint:
+                raise ValueError(
+                    f"checkpoint {path} was written for a different "
+                    f"configuration (fingerprint {fp} != {self.fingerprint})")
+            return payload
+        return None
+
+
+def ssfm_propagate_resumable(
+    A,
+    w_rad_s: np.ndarray,
+    length: float,
+    ckpt_dir: str,
+    segment_km: float,
+    alpha: float = 0.0,
+    beta_2: float = 0.0,
+    beta_3: float = 0.0,
+    gamma: float = 0.0,
+    h: Optional[float] = None,
+    phi_max: float = 0.01,
+):
+    """Fixed/adaptive-step SSFM over ``length`` km, checkpointing the field
+    every ``segment_km``.  On restart with the same ``ckpt_dir`` and
+    physics config, resumes from the latest checkpoint instead of z=0.
+
+    Returns the output field as a host complex64 ndarray.
+    """
+    from ..ops import ssfm as _ssfm
+
+    cfg = dict(length=length, alpha=alpha, beta_2=beta_2, beta_3=beta_3,
+               gamma=gamma, h=h, phi_max=phi_max, segment_km=segment_km,
+               n=int(np.shape(A)[-1]))
+    ck = PropagationCheckpointer(ckpt_dir, config=cfg)
+
+    state = ck.latest()
+    if state is not None:
+        step0, z0, re, im, _ = state
+        A = re + 1j * im
+    else:
+        step0, z0 = 0, 0.0
+        A = np.asarray(A, dtype=np.complex64)
+
+    step = step0
+    z = z0
+    while z < length - 1e-9:
+        seg = min(segment_km, length - z)
+        A = np.asarray(_ssfm.ssfm_propagate(
+            A, w_rad_s, length=seg, alpha=alpha, beta_2=beta_2,
+            beta_3=beta_3, gamma=gamma, phi_max=phi_max, h=h))
+        z += seg
+        step += 1
+        ck.save(step, z, A.real, A.imag)
+    return np.asarray(A, dtype=np.complex64)

@@ -56,7 +56,7 @@ from .utils.analysis import rcos as _rcos_spectrum
 __all__ = [
     "PRBS", "DAC", "LASER", "PM", "MZM", "BPF", "EDFA", "DM", "FIBER",
     "DBP", "LPF", "PD", "ADC", "GET_EYE", "SAMPLER", "FBG",
-    "animated_fiber_propagation",
+    "animated_fiber_propagation", "animated_fiber_propagation_with_phase",
 ]
 
 
@@ -865,6 +865,62 @@ def animated_fiber_propagation(input: OpticalSignal, M: int, length: float,
         line.set_ydata(mag[i])
         ax.set_title(f"z = {z[i]:.2f} km")
         return (line,)
+
+    anim = FuncAnimation(fig, update, frames=len(z), interval=interval,
+                         blit=False)
+    if show:
+        plt.show()
+    return anim
+
+
+def animated_fiber_propagation_with_phase(
+        input: OpticalSignal, length: float, alpha: float = 0.0,
+        beta_2: float = 0.0, beta_3: float = 0.0, gamma: float = 0.0,
+        phi_max: float = 0.05, h: Optional[float] = None,
+        interval: int = 100, show: bool = True):  # pragma: no cover
+    """Animation of |A(z,t)|, instantaneous phase and chirp along the fiber
+    (reference devices.py:2461-2563).  The loss is compensated out of the
+    displayed field (``A * exp(alpha*z/2)``) so amplitude changes shown are
+    purely dispersive/nonlinear, and the phase is unwrapped and referenced
+    to the pulse center, as in the reference."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    z, A_z = FIBER(input, length=length, alpha=alpha, beta_2=beta_2,
+                   beta_3=beta_3, gamma=gamma, phi_max=phi_max, h=h,
+                   return_steps=True)
+    A_z = A_z if A_z.ndim == 2 else A_z.sum(axis=1)
+    alpha_lin = alpha / 4.342944819032518
+    A_z = A_z * np.exp(alpha_lin * z[:, None] / 2)  # undo loss for display
+
+    ic = int(np.argmax(np.abs(A_z[0])))
+    mag = np.abs(A_z)
+    ph = np.unwrap(np.angle(A_z), axis=-1)
+    ph = ph - ph[:, ic:ic + 1] + np.angle(A_z)[:, ic:ic + 1]
+    # instantaneous frequency deviation (chirp) [rad/ps]
+    om = -np.gradient(ph, gv.dt * 1e12, axis=-1)
+
+    t = gv.t * gv.R
+    t = t - t.max() / 2
+
+    fig, (ax1, ax2, ax3) = plt.subplots(3, 1, sharex=True, figsize=(8, 8))
+    (l1,) = ax1.plot(t, mag[0])
+    (l2,) = ax2.plot(t, ph[0])
+    (l3,) = ax3.plot(t, om[0])
+    ax1.set_ylabel("|A(z,t)|")
+    ax2.set_ylabel("phase [rad]")
+    ax3.set_ylabel("chirp [rad/ps]")
+    ax3.set_xlabel("t/T")
+    ax1.set_ylim(0, float(mag.max()) * 1.1)
+    ax2.set_ylim(float(ph.min()), float(ph.max()))
+    ax3.set_ylim(float(np.percentile(om, 1)), float(np.percentile(om, 99)))
+
+    def update(i):
+        l1.set_ydata(mag[i])
+        l2.set_ydata(ph[i])
+        l3.set_ydata(om[i])
+        ax1.set_title(f"z = {z[i]:.2f} km")
+        return l1, l2, l3
 
     anim = FuncAnimation(fig, update, frames=len(z), interval=interval,
                          blit=False)

@@ -1,0 +1,87 @@
+"""Plotting smoke tests (assert no exception, as the reference does —
+reference tests/typing_test.py:730-737 and 1264-1277).
+
+All figures render on the Agg backend; no display required.
+"""
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from opticomlib_tpu import gv  # noqa: E402
+from opticomlib_tpu.devices import DAC, GET_EYE, PRBS  # noqa: E402
+from opticomlib_tpu.eyediag import eyediagram  # noqa: E402
+from opticomlib_tpu.signals import (  # noqa: E402
+    BinarySequence, ElectricalSignal, OpticalSignal,
+)
+from opticomlib_tpu.utils.analysis import bode  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+def _noisy_nrz(n_bits=256, sps=16):
+    gv(sps=sps, R=1e9, N=n_bits)
+    rng = np.random.default_rng(5)
+    bits = BinarySequence(rng.integers(0, 2, n_bits))
+    sig = DAC(bits, Vpp=1.0)
+    return sig + ElectricalSignal(
+        np.zeros(sig.size), noise=0.05 * rng.normal(size=sig.size))
+
+
+def test_binary_sequence_plot():
+    BinarySequence("1 0 1 1 0").plot()
+
+
+def test_electrical_signal_plot_and_psd():
+    sig = _noisy_nrz()
+    sig.plot("-", n=500, xlabel="t", ylabel="V", grid=True)
+    sig.psd("-", kind="linear")
+    sig.psd("-", kind="log")
+
+
+def test_electrical_signal_plot_eye():
+    sig = _noisy_nrz()
+    sig.plot_eye()
+
+
+def test_optical_signal_plot_both_pols():
+    gv(sps=8, R=1e9, N=64)
+    x = np.exp(1j * np.linspace(0, 4 * np.pi, 512)).astype(np.complex64)
+    osig = OpticalSignal(np.stack([x, 0.5 * x]), n_pol=2)
+    osig.plot("-")
+
+
+def test_eye_object_plot_and_print():
+    sig = _noisy_nrz()
+    eye_obj = GET_EYE(sig, nslots=128)
+    eye_obj.print("smoke")
+    eye_obj.plot()
+
+
+def test_eyediagram_styles():
+    sig = _noisy_nrz()
+    y = np.real(np.asarray(sig.signal))
+    for style in ("density", "line"):
+        eyediagram(y, sps=gv.sps, style=style)
+        plt.close("all")
+
+
+def test_bode_plot():
+    gv(sps=16, R=1e9, N=64)
+    fs = 4e9
+    f = np.fft.fftfreq(512, d=1 / fs)
+    H = 1.0 / (1 + 1j * f / 1e9)
+    bode(H, fs, f0=193.4e12, show=False)
+
+
+def test_prbs_then_plot_chain():
+    gv(sps=8, R=1e9, N=127)
+    seq = PRBS(order=7)
+    DAC(seq, Vpp=1.0).plot()

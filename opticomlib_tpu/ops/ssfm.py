@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["linear_operator", "ssfm_propagate", "ssfm_step_schedule",
-           "dispersive_step"]
+           "dispersive_step", "ssfm_scan_o4", "ssfm_local_error"]
 
 _LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
 
@@ -134,6 +134,143 @@ def ssfm_step_schedule(length: float, h: float) -> np.ndarray:
     if not hs:
         hs = [length]
     return np.asarray(hs, dtype=np.float32)
+
+
+# ----------------------------------------------------------------------
+# higher-order schemes (beyond reference parity: fewer FFTs per unit
+# accuracy than the reference's 2nd-order phi_max-adaptive stepping)
+# ----------------------------------------------------------------------
+
+def _strang_step(A, D, h, gamma):
+    """True Strang split step: the second nonlinear half uses the field
+    *after* the linear substep (genuinely 2nd-order).  The reference's step
+    (:func:`_nl_l_nl_step`) reuses the rotation factors frozen at the step
+    start (devices.py:1172-1196) — cheaper per step, but its splitting
+    error degrades toward 1st order when the per-step dispersion is strong,
+    which would defeat the higher-order compositions below."""
+    phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+    A = A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    A = jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * jnp.exp(D * h), axis=-1)
+    phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+    return A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+
+
+# Yoshida (1990) triple-jump composition: S4(h) = S2(w1 h) S2(w0 h) S2(w1 h)
+# with w1 = 1/(2 - 2^(1/3)), w0 = 1 - 2 w1 (negative midstep).  Local error
+# O(h^5) vs O(h^3) for the plain symmetric step.
+_W1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+_W0 = 1.0 - 2.0 * _W1
+
+
+@jax.jit
+def _ssfm_scan_o4(Are, Aim, Dre, Dim, hs, gamma):
+    A = jax.lax.complex(Are, Aim)
+    D = jax.lax.complex(Dre, Dim)
+    gamma = jnp.float32(gamma)
+
+    def step(A, h):
+        A = _strang_step(A, D, h * jnp.float32(_W1), gamma)
+        A = _strang_step(A, D, h * jnp.float32(_W0), gamma)
+        A = _strang_step(A, D, h * jnp.float32(_W1), gamma)
+        return A, None
+
+    A, _ = jax.lax.scan(step, A, hs)
+    return A.real, A.imag
+
+
+def ssfm_scan_o4(A, w_rad_s, length, alpha=0.0, beta_2=0.0, beta_3=0.0,
+                 gamma=0.0, h=1.0):
+    """Fixed-step **4th-order** split-step propagation (Yoshida triple-jump
+    composition of symmetric steps).
+
+    Three FFT pairs per step but local error O(h^5): at equal accuracy the
+    step count drops by ~(h4/h2) ≈ accuracy^(-1/6) vs the 2nd-order scheme,
+    a net FFT saving whenever the tolerance is tight.  No reference
+    equivalent (the reference offers only the 2nd-order scheme,
+    devices.py:1172-1196).
+    """
+    A_host = np.asarray(A, dtype=np.complex64)
+    Are, Aim = _split(A_host)
+    D = linear_operator(w_rad_s, alpha, beta_2, beta_3)
+    Dre, Dim = _split(D)
+    hs = jnp.asarray(ssfm_step_schedule(length, h))
+    re, im = _ssfm_scan_o4(Are, Aim, Dre, Dim, hs, gamma)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+@partial(jax.jit, static_argnames=())
+def _ssfm_local_error_loop(Are, Aim, Dre, Dim, length, gamma, tol, h0):
+    """Sinkin et al. (2003) local-error method: advance with one coarse
+    step S2(h) and two fine steps S2(h/2)^2, combine by local Richardson
+    extrapolation ``(4 u_f - u_c)/3`` (3rd-order solution), and control the
+    step from the relative local error delta = ||u_f - u_c|| / ||u_f||:
+
+      delta > 2 tol        -> discard, halve h
+      tol < delta <= 2 tol -> accept, h /= 2^(1/3)
+      delta < tol/2        -> accept, h *= 2^(1/3)
+
+    Three FFT pairs per attempted step; h settles near the largest value
+    meeting the target accuracy — typically far fewer total FFTs than the
+    phi_max criterion at equal output error.
+    """
+    A0 = jax.lax.complex(Are, Aim)
+    D = jax.lax.complex(Dre, Dim)
+    length = jnp.float32(length)
+    gamma = jnp.float32(gamma)
+    tol = jnp.float32(tol)
+    grow = jnp.float32(2.0 ** (1.0 / 3.0))
+
+    h_floor = length * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(4_000_000)
+
+    def cond(carry):
+        _, z, _, steps = carry
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(carry):
+        A, z, h, steps = carry
+        h = jnp.minimum(h, length - z)
+        u_c = _strang_step(A, D, h, gamma)
+        u_f = _strang_step(_strang_step(A, D, h / 2, gamma), D, h / 2,
+                           gamma)
+        diff = u_f - u_c
+        err = jnp.sqrt(jnp.sum(diff.real**2 + diff.imag**2))
+        ref = jnp.sqrt(jnp.sum(u_f.real**2 + u_f.imag**2))
+        delta = err / jnp.maximum(ref, jnp.float32(1e-30))
+
+        accept = jnp.logical_or(delta <= 2 * tol, h <= h_floor)
+        A_new = (jnp.float32(4.0) * u_f - u_c) / jnp.float32(3.0)
+        A = jnp.where(accept, A_new, A)
+        z = jnp.where(accept, z + h, z)
+
+        h_next = jnp.where(
+            delta > 2 * tol, h / 2,
+            jnp.where(delta > tol, h / grow,
+                      jnp.where(delta < tol / 2, h * grow, h)))
+        h_next = jnp.clip(h_next, h_floor, length)
+        return (A, z, h_next.astype(jnp.float32), steps + 1)
+
+    A, z, h, steps = jax.lax.while_loop(
+        cond, body, (A0, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0)))
+    return A.real, A.imag, steps
+
+
+def ssfm_local_error(A, w_rad_s, length, alpha=0.0, beta_2=0.0, beta_3=0.0,
+                     gamma=0.0, tol=1e-5, h0=None):
+    """Adaptive split-step propagation with **local-error step control**
+    (Sinkin et al., JLT 2003) and per-step Richardson extrapolation to 3rd
+    order.  ``tol`` is the target relative local error per step.
+
+    Returns (A_out, n_attempted_steps)."""
+    A_host = np.asarray(A, dtype=np.complex64)
+    Are, Aim = _split(A_host)
+    D = linear_operator(w_rad_s, alpha, beta_2, beta_3)
+    Dre, Dim = _split(D)
+    if h0 is None:
+        h0 = length / 10.0
+    re, im, steps = _ssfm_local_error_loop(
+        Are, Aim, Dre, Dim, length, gamma, tol, min(h0, length))
+    return np.asarray(re) + 1j * np.asarray(im), int(steps)
 
 
 def dispersive_step(A, D, h):

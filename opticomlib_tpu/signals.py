@@ -119,6 +119,21 @@ def _as_noise(noise):
     return noise if _has_noise(noise) else NULL
 
 
+def _sizeof(obj) -> int:
+    """Recursive in-memory size in bytes (reference uses pympler.asizeof,
+    typing.py:13/824-830); falls back to array nbytes when pympler is
+    unavailable."""
+    try:
+        from pympler.asizeof import asizeof
+        return int(asizeof(obj))
+    except Exception:
+        total = 0
+        for v in vars(obj).values():
+            nb = getattr(v, "nbytes", None)
+            total += int(nb) if nb is not None else 0
+        return total
+
+
 def _asarray(value, dtype=None):
     """Convert to an array, accepting str / scalars / array-likes / jax."""
     if isinstance(value, str):
@@ -219,6 +234,11 @@ class BinarySequence:
     @property
     def type(self):
         return type(self)
+
+    @property
+    def sizeof(self) -> int:
+        """Memory size of the object in bytes (reference typing.py:824-830)."""
+        return _sizeof(self)
 
     # -- operators --
     def _coerce(self, other) -> "BinarySequence":
@@ -510,6 +530,11 @@ class ElectricalSignal:
     @property
     def type(self):
         return type(self)
+
+    @property
+    def sizeof(self) -> int:
+        """Memory size of the object in bytes (reference typing.py:1494-1499)."""
+        return _sizeof(self)
 
     @property
     def fs(self) -> float:

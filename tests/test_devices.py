@@ -215,6 +215,33 @@ def test_FIBER_DBP_roundtrip():
                                np.asarray(op.signal), atol=1e-3)
 
 
+def test_FIBER_methods_agree():
+    """o4 / local_error methods converge to the same field as a fine
+    reference-scheme propagation."""
+    gv(sps=32, R=10e9, N=64)
+    x = DAC(BinarySequence("0110100110").data.tolist() * 2,
+            pulse_shape="gaussian")
+    op = OpticalSignal(np.asarray(x.signal).astype(complex) * 0.1)
+    cfg = dict(length=20, alpha=0.2, beta_2=-20, gamma=1.3)
+    ref = FIBER(op, h=0.02, **cfg)                     # fine fixed-step
+    o4 = FIBER(op, method="o4", h=1.0, **cfg)          # 50x coarser step
+    le = FIBER(op, method="local_error", tol=1e-6, **cfg)
+    scale = float(np.max(np.abs(np.asarray(ref.signal))))
+    np.testing.assert_allclose(np.asarray(o4.signal),
+                               np.asarray(ref.signal), atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(le.signal),
+                               np.asarray(ref.signal), atol=2e-3 * scale)
+
+
+def test_FIBER_method_validation():
+    gv(sps=16, R=1e9, N=16)
+    op = LASER(P0=1)
+    with np.testing.assert_raises(ValueError):
+        FIBER(op, length=1, method="bogus")
+    with np.testing.assert_raises(ValueError):
+        FIBER(op, length=1, method="o4")  # o4 requires h
+
+
 def test_FIBER_2pol():
     gv(sps=16, R=1e9, N=64)
     op = OpticalSignal(np.ones(gv.N * gv.sps), n_pol=2) * 0.1

@@ -143,3 +143,51 @@ def test_sharded_overlap_method_approximate(devices):
                                       halo_safety=16.0, **kw))
     scale = np.max(np.abs(single))
     np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-3)
+
+
+# ----------------------------------------------------------- span pipeline
+def test_span_pipeline_matches_sequential(devices):
+    """4-span pipeline over 4 devices == sequential span application."""
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+
+    S, B, n, fs = 4, 6, 1024, 160e9
+    rng = np.random.default_rng(3)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+    cfg = dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    span_L, h = 5.0, 0.5
+
+    mesh = make_span_mesh(S, devices=devices[:S])
+    out = np.asarray(span_pipeline(A, mesh, fs, span_L, h=h, **cfg))
+
+    # sequential oracle: spans applied one after another on one device,
+    # with the same transparent EDFA gain per span
+    w = _wgrid(n, fs)
+    g = 10.0 ** (cfg["alpha"] * span_L / 20.0)
+    expect = A.copy()
+    for _ in range(S):
+        expect = np.stack([
+            ssfm.ssfm_propagate(expect[b], w, span_L, h=h, **cfg) * g
+            for b in range(B)])
+
+    scale = np.max(np.abs(expect))
+    np.testing.assert_allclose(out, expect, atol=5e-4 * scale)
+
+
+def test_span_pipeline_single_span(devices):
+    """S=1 degenerates to plain per-batch propagation."""
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+
+    B, n, fs = 3, 512, 80e9
+    rng = np.random.default_rng(4)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+    mesh = make_span_mesh(1, devices=devices[:1])
+    out = np.asarray(span_pipeline(A, mesh, fs, 2.0, alpha=0.2,
+                                   beta_2=-21.0, gamma=1.3, h=0.5))
+    w = _wgrid(n, fs)
+    g = 10.0 ** (0.2 * 2.0 / 20.0)
+    expect = np.stack([
+        ssfm.ssfm_propagate(A[b], w, 2.0, alpha=0.2, beta_2=-21.0,
+                            gamma=1.3, h=0.5) * g for b in range(B)])
+    np.testing.assert_allclose(out, expect, atol=5e-4 * np.max(np.abs(expect)))

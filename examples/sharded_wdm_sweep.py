@@ -2,15 +2,27 @@
 (BASELINE config 5, scaled to the devices available).
 
 On a TPU slice this runs 16 channels x 2^26 samples over ('wdm','time');
-here it auto-scales to whatever mesh jax.devices() provides (run tests/CI
-with XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
-for an 8-device virtual mesh).
+here it auto-scales to whatever mesh jax.devices() provides.  By default
+it forces an 8-device virtual CPU mesh in-process (the container
+sitecustomize would otherwise hand us the single remote TPU chip, which
+cannot host a multi-device mesh); set OPTICOMLIB_EXAMPLES_TPU=1 on a real
+multi-chip slice.
 
-Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/sharded_wdm_sweep.py
+Run:  python examples/sharded_wdm_sweep.py
 """
+import os
+
+if not os.environ.get("OPTICOMLIB_EXAMPLES_TPU"):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8").strip()
+
 import numpy as np
 import jax
+
+if not os.environ.get("OPTICOMLIB_EXAMPLES_TPU"):
+    # before any jax.devices()/jit call
+    jax.config.update("jax_platforms", "cpu")
 
 from opticomlib_tpu.ops import ssfm
 from opticomlib_tpu.parallel.fiber import (

@@ -287,7 +287,9 @@ def _adc_kernel(lo_ref, step_ref, seed_ref, x_ref, y_ref, *, levels: int,
         u = (rbits >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
         q = jnp.floor(q + u)
     else:
-        q = jnp.round(q)
+        # explicit round-half-up: deterministic across backends (jnp.round's
+        # half-to-even tie-break can flip per-backend at f32 boundaries)
+        q = jnp.floor(q + jnp.float32(0.5))
     q = jnp.clip(q, 0.0, float(levels - 1))
     y_ref[:] = lo + q * step
 

@@ -261,6 +261,10 @@ def ssfm_local_error(A, w_rad_s, length, alpha=0.0, beta_2=0.0, beta_3=0.0,
     (Sinkin et al., JLT 2003) and per-step Richardson extrapolation to 3rd
     order.  ``tol`` is the target relative local error per step.
 
+    Keep ``tol >= ~1e-5``: the per-step error estimate bottoms out at the
+    float32 noise floor, so tighter tolerances only shrink the step (and
+    multiply the FFT count) without improving the result.
+
     Returns (A_out, n_attempted_steps)."""
     A_host = np.asarray(A, dtype=np.complex64)
     Are, Aim = _split(A_host)

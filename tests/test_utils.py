@@ -176,3 +176,22 @@ def test_hier_logger(capsys):
     assert lines[0].startswith("/> ")
     assert any(l.startswith("|   /> inner") for l in lines)
     assert any(l.startswith("|   |   /> inner body") for l in lines)
+
+
+# ------------------------------------------------------------- profiling
+def test_profiling_hooks():
+    """trace/annotate/DeviceTimer are usable on the CPU backend."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.utils.profiling import DeviceTimer, annotate, trace
+
+    with tempfile.TemporaryDirectory() as d:
+        with trace(d):
+            with annotate("smoke"):
+                x = jnp.arange(8.0) * 2
+    with DeviceTimer() as t:
+        y = jnp.arange(64.0) ** 2
+        t.sync(y)
+    assert t.elapsed is not None and t.elapsed >= 0

@@ -1,0 +1,244 @@
+"""Numerical equivalence against the reference implementation.
+
+SURVEY §4: "add numerical-equivalence tests against the CPU reference ...
+BER match vs CPU reference on identical seeds".  These tests import the
+actual reference package (read-only at /root/reference, lab-only deps
+stubbed) and compare the *deterministic* paths output-for-output.  Noise
+paths use different RNGs by design (see MIGRATION.md §"Deliberate
+behavioral differences") and are compared statistically elsewhere.
+
+Skipped automatically when the reference tree is not present.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference"
+
+if not os.path.isdir(os.path.join(REF_PATH, "opticomlib")):
+    pytest.skip("reference package not available", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package with its lab-only deps stubbed."""
+    for name in ("pympler", "pympler.asizeof", "pyvisa", "serial",
+                 "serial.tools", "serial.tools.list_ports"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["pympler.asizeof"].asizeof = lambda o: 0
+    sys.modules["pympler"].asizeof = sys.modules["pympler.asizeof"]
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import opticomlib  # noqa: F401
+    import opticomlib.devices
+    import opticomlib.ppm
+    import opticomlib.utils
+    return opticomlib
+
+
+@pytest.fixture()
+def both_gv(ref):
+    """Set identical simulation parameters in both packages."""
+    from opticomlib_tpu import gv as tpu_gv
+
+    def setter(**kw):
+        ref.gv(**kw)
+        tpu_gv(**kw)
+        return ref.gv, tpu_gv
+
+    yield setter
+    ref.gv.default()
+
+
+# ------------------------------------------------------------------- PRBS
+@pytest.mark.parametrize("order", [7, 9, 11, 15])
+def test_prbs_bitstreams_match(ref, both_gv, order):
+    both_gv(sps=2, R=1e9)
+    n = min(2 ** order - 1, 2000)
+    from opticomlib_tpu.devices import PRBS as PRBS_tpu
+    a = ref.devices.PRBS(order=order, len=n)
+    b = PRBS_tpu(order=order, len=n)
+    np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_prbs_seed_continuation_matches(ref, both_gv):
+    both_gv(sps=2, R=1e9)
+    from opticomlib_tpu.devices import PRBS as PRBS_tpu
+    a1, s_ref = ref.devices.PRBS(order=9, len=100, return_seed=True)
+    b1, s_tpu = PRBS_tpu(order=9, len=100, return_seed=True)
+    a2 = ref.devices.PRBS(order=9, len=100, seed=s_ref)
+    b2 = PRBS_tpu(order=9, len=100, seed=s_tpu)
+    np.testing.assert_array_equal(np.asarray(a2.data), np.asarray(b2.data))
+
+
+# -------------------------------------------------------------------- DAC
+@pytest.mark.parametrize("shape,kw", [
+    ("nrz", {}),
+    ("gaussian", {}),
+    ("rcos", {"beta": 0.3}),
+])
+def test_dac_waveforms_match(ref, both_gv, shape, kw):
+    both_gv(sps=16, R=1e9, N=32)
+    bits = [0, 1, 1, 0, 1, 0, 0, 1] * 4
+    from opticomlib_tpu.devices import DAC as DAC_tpu
+    try:
+        a = ref.devices.DAC(bits, Vpp=2.0, pulse_shape=shape, **kw)
+    except Exception as e:
+        pytest.skip(f"reference DAC rejects shape {shape}: {e}")
+    b = DAC_tpu(bits, Vpp=2.0, pulse_shape=shape, **kw)
+    np.testing.assert_allclose(np.asarray(b.signal).real,
+                               np.asarray(a.signal).real,
+                               atol=2e-5 * np.max(np.abs(a.signal)))
+
+
+# ---------------------------------------------------------------- MZM / PM
+def test_mzm_transfer_matches(ref, both_gv):
+    both_gv(sps=16, R=1e9, N=16, Vpi=5)
+    n = 256
+    t = np.linspace(0, 1, n)
+    drive = 2.5 * np.sin(2 * np.pi * 3 * t)
+    E = np.sqrt(1e-3) * np.ones(n)
+
+    a = ref.devices.MZM(ref.optical_signal(E.astype(complex)),
+                        ref.electrical_signal(drive), bias=-2.5, Vpi=5,
+                        loss_dB=3, ER_dB=26)
+    from opticomlib_tpu.devices import MZM as MZM_tpu
+    from opticomlib_tpu.signals import ElectricalSignal, OpticalSignal
+    b = MZM_tpu(OpticalSignal(E.astype(complex)), ElectricalSignal(drive),
+                bias=-2.5, Vpi=5, loss_dB=3, ER_dB=26)
+    np.testing.assert_allclose(np.asarray(b.signal).ravel(),
+                               np.asarray(a.signal).ravel(), atol=1e-6)
+
+
+def test_pm_transfer_matches(ref, both_gv):
+    both_gv(sps=16, R=1e9, N=16)
+    n = 256
+    drive = np.linspace(-5, 5, n)
+    E = np.ones(n, complex)
+    a = ref.devices.PM(ref.optical_signal(E), ref.electrical_signal(drive),
+                       Vpi=5)
+    from opticomlib_tpu.devices import PM as PM_tpu
+    from opticomlib_tpu.signals import ElectricalSignal, OpticalSignal
+    b = PM_tpu(OpticalSignal(E), ElectricalSignal(drive), Vpi=5)
+    np.testing.assert_allclose(np.asarray(b.signal).ravel(),
+                               np.asarray(a.signal).ravel(), atol=1e-6)
+
+
+# ------------------------------------------------------------------ DM
+def test_dm_matches(ref, both_gv):
+    both_gv(sps=32, R=10e9, N=64)
+    rng = np.random.default_rng(0)
+    E = (rng.normal(size=2048) + 1j * rng.normal(size=2048)) * 0.01
+    a = ref.devices.DM(ref.optical_signal(E), D=800.0)
+    from opticomlib_tpu.devices import DM as DM_tpu
+    from opticomlib_tpu.signals import OpticalSignal
+    b = DM_tpu(OpticalSignal(E), D=800.0)
+    sa = np.asarray(a.signal).ravel()
+    sb = np.asarray(b.signal).ravel()
+    np.testing.assert_allclose(sb, sa, atol=2e-4 * np.max(np.abs(sa)))
+
+
+# ---------------------------------------------------------------- FIBER
+def test_fiber_deterministic_waveform_matches(ref, both_gv):
+    """Same fixed-step config, no noise: the two SSFM implementations must
+    produce the same field (float32 tolerance, ~100 steps)."""
+    both_gv(sps=32, R=10e9, N=64)
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 64)
+    E = (np.repeat(bits, 32) * 0.1).astype(complex)
+
+    a = ref.devices.FIBER(ref.optical_signal(E), length=20, alpha=0.2,
+                          beta_2=-20, gamma=1.3, h=0.2)
+    from opticomlib_tpu.devices import FIBER as FIBER_tpu
+    from opticomlib_tpu.signals import OpticalSignal
+    b = FIBER_tpu(OpticalSignal(E), length=20, alpha=0.2, beta_2=-20,
+                  gamma=1.3, h=0.2)
+    sa = np.asarray(a.signal).ravel()
+    sb = np.asarray(b.signal).ravel()
+    err = np.linalg.norm(sb - sa) / np.linalg.norm(sa)
+    assert err < 1e-3, err
+
+
+# ------------------------------------------------------------------ PPM
+@pytest.mark.parametrize("M", [4, 16, 64])
+def test_ppm_encode_decode_match(ref, both_gv, M):
+    both_gv(sps=16, R=1e9)
+    k = int(np.log2(M))
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 20 * k)
+    a_enc = ref.ppm.PPM_ENCODER(bits, M)
+    from opticomlib_tpu.models import ppm as ppm_tpu
+    b_enc = ppm_tpu.PPM_ENCODER(bits, M)
+    np.testing.assert_array_equal(np.asarray(a_enc.data),
+                                  np.asarray(b_enc.data))
+    a_dec = ref.ppm.PPM_DECODER(np.asarray(a_enc.data), M)
+    b_dec = ppm_tpu.PPM_DECODER(np.asarray(b_enc.data), M)
+    np.testing.assert_array_equal(np.asarray(a_dec.data),
+                                  np.asarray(b_dec.data))
+    np.testing.assert_array_equal(np.asarray(a_dec.data), bits)
+
+
+# ------------------------------------------------------------- analytics
+@pytest.mark.parametrize("kw", [
+    dict(modulation="ook", ER=26.0, BW_el=7.5e9),
+    dict(modulation="ook", amplify=True, G=20.0, NF=5.0, BW_opt=50e9,
+         ER=26.0, BW_el=7.5e9, r=0.8),
+    dict(modulation="ppm", M=16, decision="hard", amplify=True, G=20.0,
+         NF=5.0, BW_opt=50e9, BW_el=7.5e9),
+    dict(modulation="ppm", M=8, decision="soft", amplify=True, G=20.0,
+         NF=5.0, BW_opt=50e9, BW_el=7.5e9),
+])
+def test_theory_ber_matches(ref, both_gv, kw):
+    both_gv(sps=16, R=1e9)
+    import opticomlib.utils as ru
+
+    from opticomlib_tpu.utils import theory as tt
+    P = np.array([-30.0, -25.0, -20.0])
+    expect = ru.theory_BER(P, **kw)
+    got = tt.theory_BER(P, **kw)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_noise_variances_and_pase_match(ref, both_gv):
+    both_gv(sps=16, R=1e9)
+    import opticomlib.utils as ru
+
+    from opticomlib_tpu.utils import theory as tt
+    np.testing.assert_allclose(
+        tt.p_ase(amplify=True, G=20.0, NF=5.0, BW_opt=12.5e9),
+        ru.p_ase(amplify=True, G=20.0, NF=5.0, BW_opt=12.5e9), rtol=1e-9)
+    kw = dict(P_avg=-20.0, modulation="ook", ER=26.0, amplify=True,
+              G=20.0, NF=5.0, BW_opt=50e9, r=0.8, BW_el=7.5e9)
+    np.testing.assert_allclose(tt.noise_variances(**kw),
+                               ru.noise_variances(**kw), rtol=1e-9)
+    mu_ref, _ = ru.average_voltages(P_avg=-20.0, modulation="ppm", M=16,
+                                    ER=26.0, amplify=True, G=20.0, NF=5.0,
+                                    BW_opt=50e9)
+    mu_tpu, _ = tt.average_voltages(P_avg=-20.0, modulation="ppm", M=16,
+                                    ER=26.0, amplify=True, G=20.0, NF=5.0,
+                                    BW_opt=50e9)
+    np.testing.assert_allclose(mu_tpu, mu_ref, rtol=1e-9)
+
+
+def test_pulse_and_upfir_match(ref, both_gv):
+    both_gv(sps=16, R=1e9)
+    import opticomlib.utils as ru
+
+    import opticomlib_tpu.ops.pulses as tp
+    a = ru.gauss_pulse(span=4, sps=16, T=1, m=1, c=0.0)
+    b = tp.gauss_pulse(span=4, sps=16, T=1, m=1, c=0.0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
+    a = ru.nrz_pulse(span=4, sps=16, T=1)
+    b = tp.nrz_pulse(span=4, sps=16, T=1)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=100)
+    h = rng.normal(size=9)
+    a = ru.upfir(x, h, up=4)
+    b = tp.upfir(x, h, up=4)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)

@@ -240,6 +240,16 @@ class BinarySequence:
         """Memory size of the object in bytes (reference typing.py:824-830)."""
         return _sizeof(self)
 
+    @property
+    def ones(self) -> int:
+        """Number of ones in the binary sequence (reference typing.py:797-801)."""
+        return int(np.sum(self.data == 1))
+
+    @property
+    def zeros(self) -> int:
+        """Number of zeros in the binary sequence (reference typing.py:804-808)."""
+        return int(np.sum(self.data == 0))
+
     # -- operators --
     def _coerce(self, other) -> "BinarySequence":
         return other if isinstance(other, BinarySequence) else BinarySequence(other)
@@ -284,6 +294,10 @@ class BinarySequence:
     def hamming_distance(self, other) -> int:
         other = self._coerce(other)
         return int(np.sum(self.data != other.data))
+
+    def flip(self):
+        """Invert the binary sequence; same as ``~`` (reference typing.py:938-948)."""
+        return ~self
 
     def dac(self, **kwargs):
         """Shortcut to :func:`opticomlib_tpu.devices.DAC`."""
@@ -500,6 +514,11 @@ class ElectricalSignal:
 
     # -- properties --
     @property
+    def index(self) -> np.ndarray:
+        """Sample index vector 0..n-1 (reference typing.py:1466-1468)."""
+        return np.arange(self.size)
+
+    @property
     def size(self) -> int:
         return int(np.size(self.signal))
 
@@ -672,6 +691,19 @@ class ElectricalSignal:
         eye_obj = GET_EYE(self, **kwargs)
         eye_obj.plot()
         return eye_obj
+
+    def grid(self, **kwargs):  # pragma: no cover - host plotting
+        """Add a grid to the current plot, chainable (reference typing.py:2043-2059)."""
+        import matplotlib.pyplot as plt
+        kwargs.setdefault("alpha", 0.3)
+        plt.grid(**kwargs)
+        return self
+
+    def legend(self, *args, **kwargs):  # pragma: no cover - host plotting
+        """Add a legend to the current plot, chainable (reference typing.py:2061-2078)."""
+        import matplotlib.pyplot as plt
+        plt.legend(*args, **kwargs)
+        return self
 
     def show(self):  # pragma: no cover
         import matplotlib.pyplot as plt

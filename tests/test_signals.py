@@ -205,3 +205,22 @@ def test_signals_are_pytrees():
     o = OpticalSignal(np.ones((2, 4)), n_pol=2)
     o2 = jax.jit(lambda s: s + s)(o)
     assert isinstance(o2, OpticalSignal) and o2.n_pol == 2
+
+
+# ------------------------------------------------- small parity methods
+def test_binary_sequence_ones_zeros_flip():
+    # reference typing.py:797-808 (ones/zeros properties), 938-948 (flip)
+    s = BinarySequence("1 0 1 1 0")
+    assert s.ones == 3
+    assert s.zeros == 2
+    f = s.flip()
+    np.testing.assert_array_equal(f.data, [0, 1, 0, 0, 1])
+    np.testing.assert_array_equal((~s).data, f.data)
+
+
+def test_electrical_signal_index_property():
+    # reference typing.py:1466-1468
+    x = ElectricalSignal(np.arange(5.0))
+    np.testing.assert_array_equal(x.index, np.arange(5))
+    o = OpticalSignal(np.ones((2, 8)), n_pol=2)
+    assert o.index.shape == (o.size,)

@@ -42,20 +42,20 @@ def main():
     bits = rng.integers(0, 2, N_BITS)
     A = (np.repeat(bits, SPS) * np.sqrt(PEAK_W)).astype(np.complex64)
     w = 2 * np.pi * np.fft.fftfreq(N) * 10e9 * SPS
-    D = ssfm.linear_operator(w, CFG["alpha"], CFG["beta_2"], 0.0)
+    phi_w = ssfm.dispersion_phase(w, CFG["beta_2"], 0.0)
+    a_km = ssfm.alpha_per_km(CFG["alpha"])
 
     Are = jax.device_put(np.ascontiguousarray(A.real))
     Aim = jax.device_put(np.ascontiguousarray(A.imag))
-    Dre = jax.device_put(np.ascontiguousarray(D.real))
-    Dim = jax.device_put(np.ascontiguousarray(D.imag))
+    phi_w = jax.device_put(phi_w)
 
     maxP0 = float(np.max(A.real**2 + A.imag**2))
     h0 = min(CFG["phi_max"] / (CFG["gamma"] * maxP0), CFG["length"])
 
     def run():
         re, im, steps = ssfm._ssfm_loop(
-            Are, Aim, Dre, Dim, CFG["length"], CFG["gamma"],
-            CFG["phi_max"], h0, adaptive=True)
+            Are, Aim, phi_w, CFG["length"], CFG["gamma"],
+            CFG["phi_max"], h0, a_km, adaptive=True)
         return int(steps)  # scalar readback = synchronization point
 
     n_steps = run()  # warmup (compile)

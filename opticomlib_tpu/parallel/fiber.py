@@ -30,7 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.ssfm import linear_operator, ssfm_step_schedule
+from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
+                        ssfm_step_schedule)
 from .dfft import pencil_fft, pencil_ifft, strided_w_grid
 from .halo import exchange_halos, halo_width
 
@@ -64,51 +65,73 @@ def shard_waveform(A: np.ndarray, mesh: Mesh):
     return jax.device_put(A, NamedSharding(mesh, spec))
 
 
-def _sharded_step_fn(D_pad, H: int, gamma: float, axis_name: str):
-    """One NL-L-NL step on a local block with halo exchange for the linear
-    operator.  Closure over the padded-block operator (complex64 constant).
-    """
+def _overlap_propagate_fn(phi_pad, a_km: float, H: int, gamma: float,
+                          axis_name: str):
+    """Blockwise overlap-save propagation over a fixed step schedule.
+
+    Dispersion is a real phase array + scalar loss (see ops/ssfm.py
+    ``dispersion_phase``); the linear factor for the schedule's leading step
+    is computed once *outside* the scan, so off-schedule steps (at most the
+    final remainder) pay the cos/sin recompute."""
     gamma = jnp.float32(gamma)
+    alpha = jnp.float32(a_km)
 
-    def step(x, h):
-        # half nonlinear step (pointwise, no comms) — operator frozen at
-        # step start, matching reference devices.py:1172-1196
-        phi = (gamma * (h / 2)) * (x.real * x.real + x.imag * x.imag)
-        half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-        x = x * half_nl
-        # linear step: overlap-save with ring halos (circular semantics)
-        xp = exchange_halos(x, H, axis_name)
-        Xp = jnp.fft.fft(xp, axis=-1)
-        xp = jnp.fft.ifft(Xp * jnp.exp(D_pad * h), axis=-1)
-        x = xp[..., H:-H]
-        return x * half_nl, None
+    def propagate(x, hs):
+        h0 = hs[0]
+        E0 = _lin_factor(phi_pad, alpha, h0)
 
-    return step
+        def step(x, h):
+            # half nonlinear step (pointwise, no comms) — operator frozen
+            # at step start, matching reference devices.py:1172-1196
+            phi = (gamma * (h / 2)) * (x.real * x.real + x.imag * x.imag)
+            half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+            x = x * half_nl
+            # linear step: overlap-save with ring halos (circular semantics)
+            E = jax.lax.cond(h == h0, lambda: E0,
+                             lambda: _lin_factor(phi_pad, alpha, h))
+            xp = exchange_halos(x, H, axis_name)
+            Xp = jnp.fft.fft(xp, axis=-1)
+            xp = jnp.fft.ifft(Xp * E, axis=-1)
+            x = xp[..., H:-H]
+            return x * half_nl, None
+
+        y, _ = jax.lax.scan(step, x, hs)
+        return y
+
+    return propagate
 
 
-def _pencil_step_fn(n_time: int, block: int, fs: float, alpha: float,
-                    beta_2: float, beta_3: float, gamma: float,
-                    axis_name: str):
-    """One NL-L-NL step with an *exact* distributed FFT (pencil transpose,
-    see parallel/dfft.py).  The linear operator is sampled on the strided
-    spectrum layout each device owns after ``pencil_fft``."""
+def _pencil_propagate_fn(n_time: int, block: int, fs: float, alpha: float,
+                         beta_2: float, beta_3: float, gamma: float,
+                         axis_name: str):
+    """Propagation with an *exact* distributed FFT per linear step (pencil
+    transpose, see parallel/dfft.py).  The linear operator is sampled on the
+    strided spectrum layout each device owns after ``pencil_fft``; the
+    per-device phase grid and leading-step factor live outside the scan."""
     gamma = jnp.float32(gamma)
-    alpha_lin = alpha / 4.342944819032518
+    alpha_lin = jnp.float32(alpha_per_km(alpha))
 
-    def step(x, h):
-        phi = (gamma * (h / 2)) * (x.real * x.real + x.imag * x.imag)
-        half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-        x = x * half_nl
+    def propagate(x, hs):
         q = jax.lax.axis_index(axis_name)
         w = strided_w_grid(q, n_time, block, fs) * 1e-12  # rad/ps
-        D = (-alpha_lin / 2
-             + 1j * beta_2 / 2 * w**2
-             + 1j * beta_3 / 6 * w**3).astype(jnp.complex64)
-        X = pencil_fft(x, axis_name)
-        x = pencil_ifft(X * jnp.exp(D * h), axis_name)
-        return x * half_nl, None
+        phi_q = (beta_2 / 2 * w**2 + beta_3 / 6 * w**3).astype(jnp.float32)
+        h0 = hs[0]
+        E0 = _lin_factor(phi_q, alpha_lin, h0)
 
-    return step
+        def step(x, h):
+            phi = (gamma * (h / 2)) * (x.real * x.real + x.imag * x.imag)
+            half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+            x = x * half_nl
+            E = jax.lax.cond(h == h0, lambda: E0,
+                             lambda: _lin_factor(phi_q, alpha_lin, h))
+            X = pencil_fft(x, axis_name)
+            x = pencil_ifft(X * E, axis_name)
+            return x * half_nl, None
+
+        y, _ = jax.lax.scan(step, x, hs)
+        return y
+
+    return propagate
 
 
 def ssfm_sharded(
@@ -155,8 +178,8 @@ def ssfm_sharded(
             raise ValueError(
                 f"pencil FFT needs block ({block}) divisible by time shards "
                 f"({n_time}) — i.e. nsamples divisible by n_time^2")
-        step = _pencil_step_fn(n_time, block, fs, alpha, beta_2, beta_3,
-                               gamma, time_axis)
+        propagate = _pencil_propagate_fn(n_time, block, fs, alpha, beta_2,
+                                         beta_3, gamma, time_axis)
     elif method == "overlap":
         H = halo_width(float(hs.max()), beta_2, beta_3, fs,
                        safety=halo_safety)
@@ -164,10 +187,11 @@ def ssfm_sharded(
             raise ValueError(
                 f"halo {H} too large for block {block}; increase samples per "
                 f"device or reduce step size")
-        # operator on the padded-block grid
+        # dispersion phase on the padded-block grid
         w_pad = 2 * np.pi * np.fft.fftfreq(block + 2 * H) * fs
-        D_pad = jnp.asarray(linear_operator(w_pad, alpha, beta_2, beta_3))
-        step = _sharded_step_fn(D_pad, H, gamma, time_axis)
+        phi_pad = jnp.asarray(dispersion_phase(w_pad, beta_2, beta_3))
+        propagate = _overlap_propagate_fn(phi_pad, alpha_per_km(alpha), H,
+                                          gamma, time_axis)
     else:
         raise ValueError("method must be 'pencil' or 'overlap'")
 
@@ -179,7 +203,6 @@ def ssfm_sharded(
     @partial(shard_map, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
              check_vma=False)
     def run(x):
-        y, _ = jax.lax.scan(step, x, jnp.asarray(hs))
-        return y
+        return propagate(x, jnp.asarray(hs))
 
     return jax.jit(run)(A)

@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.ssfm import linear_operator, ssfm_step_schedule
+from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
+                        ssfm_step_schedule)
 
 __all__ = ["make_span_mesh", "span_pipeline"]
 
@@ -80,18 +81,25 @@ def span_pipeline(
     g_field = jnp.float32(10.0 ** (gain_db / 20.0))
 
     w = 2 * np.pi * np.fft.fftfreq(n) * fs
-    D = jnp.asarray(linear_operator(w, alpha, beta_2, beta_3))
+    phi_w = jnp.asarray(dispersion_phase(w, beta_2, beta_3))
+    a_km = jnp.float32(alpha_per_km(alpha))
     hs = jnp.asarray(ssfm_step_schedule(span_length, h))
     gamma_f = jnp.float32(gamma)
 
     def span_step(x):
         """One full span: fixed-step SSFM scan + flat gain (frozen-operator
-        symmetric step, reference devices.py:1172-1196)."""
+        symmetric step, reference devices.py:1172-1196).  The leading-step
+        linear factor is computed outside the scan (loop-invariant)."""
+        h0 = hs[0]
+        E0 = _lin_factor(phi_w, a_km, h0)
+
         def step(a, hh):
             phi = (gamma_f * (hh / 2)) * (a.real * a.real + a.imag * a.imag)
             half = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
             a = a * half
-            a = jnp.fft.ifft(jnp.fft.fft(a) * jnp.exp(D * hh))
+            E = jax.lax.cond(hh == h0, lambda: E0,
+                             lambda: _lin_factor(phi_w, a_km, hh))
+            a = jnp.fft.ifft(jnp.fft.fft(a) * E)
             return a * half, None
 
         x, _ = jax.lax.scan(step, x, hs)

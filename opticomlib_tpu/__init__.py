@@ -15,7 +15,12 @@ with ``devices``, ``ook``, ``ppm`` as submodules.
 """
 from __future__ import annotations
 
+from logging import DEBUG, INFO, WARNING
+
 import numpy as np
+from numpy import ndarray
+from numpy.fft import fft, ifft, fftfreq, fftshift, ifftshift
+from scipy.constants import c, e, h, k as kB, pi
 
 from .params import SimParams, GlobalVariables, global_variables, gv
 from .signals import (
@@ -61,8 +66,50 @@ __all__ = [
     "theory_BER",
     "nrz_pulse", "gauss_pulse", "rcos_pulse", "upfir", "fft_convolve_same",
     "resample_fft",
-    "devices", "lab", "ook", "ppm", "np",
+    "devices", "lab", "ook", "ppm", "np", "ndarray",
+    # reference-script drop-in convenience re-exports
+    # (reference opticomlib/__init__.py star-exports these via typing/utils;
+    # docstring examples use `from opticomlib import gv, np, plt` and
+    # `gv(verbose=DEBUG)`)
+    "DEBUG", "INFO", "WARNING",
+    "c", "e", "h", "kB", "pi",
+    "fft", "ifft", "fftfreq", "fftshift", "ifftshift",
+    "sizeof",
 ]
+
+
+def sizeof(obj) -> int:
+    """Deep in-memory size of an object in bytes.
+
+    Reference parity: `from pympler.asizeof import asizeof as sizeof`
+    (reference opticomlib/typing.py:13). Uses pympler when available,
+    otherwise a recursive ``sys.getsizeof`` walk that also counts ndarray
+    buffers (pympler is not a dependency of this framework).
+    """
+    try:
+        from pympler.asizeof import asizeof
+        return int(asizeof(obj))
+    except ImportError:
+        pass
+    import sys as _sys
+    seen = set()
+
+    def _walk(o):
+        if id(o) in seen:
+            return 0
+        seen.add(id(o))
+        size = _sys.getsizeof(o, 0)
+        if isinstance(o, np.ndarray):
+            size += o.nbytes
+        elif isinstance(o, dict):
+            size += sum(_walk(k) + _walk(v) for k, v in o.items())
+        elif isinstance(o, (list, tuple, set, frozenset)):
+            size += sum(_walk(i) for i in o)
+        elif hasattr(o, "__dict__"):
+            size += _walk(vars(o))
+        return size
+
+    return _walk(obj)
 
 # matplotlib is exported lazily for reference-script parity
 # (`from opticomlib import plt`); importing it eagerly would slow down
@@ -72,6 +119,4 @@ def __getattr__(name):
         import matplotlib
         import matplotlib.pyplot as plt
         return plt
-    if name == "pi":
-        return np.pi
     raise AttributeError(f"module 'opticomlib_tpu' has no attribute {name!r}")

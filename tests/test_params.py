@@ -75,3 +75,33 @@ def test_gv_params_immutable_snapshot():
     gv(sps=16, R=1e9)
     assert p.sps == 8  # snapshot unaffected by later gv() calls
     assert hash(p) is not None  # hashable -> usable as jit static arg
+
+
+class TestTopLevelConvenienceExports:
+    """Reference drop-in names (`from opticomlib import gv, np, plt`,
+    `gv(verbose=DEBUG)`, physical constants, fft helpers, sizeof —
+    reference opticomlib/typing.py:12-18, docstring examples)."""
+
+    def test_logging_levels_and_constants(self):
+        import opticomlib_tpu as ot
+        assert ot.DEBUG < ot.INFO < ot.WARNING
+        assert abs(ot.c - 299792458.0) < 1
+        assert 1.6e-19 < ot.e < 1.7e-19
+        assert 6.6e-34 < ot.h < 6.7e-34
+        assert 1.3e-23 < ot.kB < 1.4e-23
+        assert ot.pi == np.pi
+
+    def test_fft_helpers_and_ndarray(self):
+        import opticomlib_tpu as ot
+        x = np.arange(8.0)
+        np.testing.assert_allclose(ot.ifft(ot.fft(x)).real, x, atol=1e-12)
+        assert ot.fftshift(ot.fftfreq(4))[0] == -0.5
+        assert ot.ndarray is np.ndarray
+        assert ot.np is np
+
+    def test_sizeof_counts_array_buffers(self):
+        import opticomlib_tpu as ot
+        a = np.zeros(1000, dtype=np.float64)
+        assert ot.sizeof(a) >= a.nbytes
+        sig = ot.electrical_signal(np.zeros(256))
+        assert ot.sizeof(sig) >= 256 * 8

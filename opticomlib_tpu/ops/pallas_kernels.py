@@ -189,12 +189,12 @@ def _fir_kernel(h_ref, x_hbm, y_ref, scratch, sems, *, taps: int,
     get_dma(slot, i).wait()
     x = scratch[slot]               # (win,) window in VMEM
 
-    def body(j, acc):
-        # x window slides backwards as tap index grows
-        seg = jax.lax.dynamic_slice(x, (taps - 1 - j,), (block,))
-        return acc + h_ref[0, j] * seg
-
-    y = jax.lax.fori_loop(0, taps, body, jnp.zeros((block,), jnp.float32))
+    # taps is static: unroll the MAC loop over *static* window slices —
+    # Mosaic TPU cannot lower lax.dynamic_slice on a loaded value, and
+    # static shifted slices are cheap lane relayouts
+    y = jnp.zeros((block,), jnp.float32)
+    for j in range(taps):
+        y = y + h_ref[0, j] * x[taps - 1 - j:taps - 1 - j + block]
     y_ref[:] = y.reshape(y_ref.shape)
 
 
@@ -260,10 +260,12 @@ def fir_filter_matmul(x: jnp.ndarray, h: np.ndarray,
 
     def one_block(i):
         w = jax.lax.dynamic_slice(xp, (i * block,), (block + taps - 1,))
-        # patches[n, j] = window[n + (taps-1) - j] = x[i*block + n - j]
-        idx = (jnp.arange(block)[:, None] + (taps - 1)
-               - jnp.arange(taps)[None, :])
-        patches = w[idx]                       # (block, taps)
+        # patches[n, j] = window[n + (taps-1) - j] = x[i*block + n - j];
+        # built from static shifted slices (a gather here lowers to a
+        # catastrophically slow scalar loop on TPU)
+        patches = jnp.stack(
+            [w[taps - 1 - j:taps - 1 - j + block] for j in range(taps)],
+            axis=1)                            # (block, taps)
         return patches @ h                     # MXU contraction
 
     y = jax.lax.map(one_block, jnp.arange(n_blocks))

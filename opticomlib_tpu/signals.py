@@ -489,6 +489,10 @@ class ElectricalSignal:
     def __len__(self):
         return int(np.shape(self.signal)[-1])
 
+    def __iter__(self):
+        """Iterate over signal+noise samples (reference typing.py:1219-1221)."""
+        return iter(np.asarray(self))
+
     # -- FFT domain switch (reference typing.py:1421-1462) --
     def __call__(self, domain: Literal["t", "w", "f"], shift: bool = False):
         import jax.numpy as jnp

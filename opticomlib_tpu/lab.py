@@ -35,7 +35,13 @@ from .eyediag import Eye
 from .ops.eyeana import kde_min_threshold
 from .params import gv
 from .signals import BinarySequence, ElectricalSignal, NULL, _has_noise
-from .utils.analysis import str2array, tic, toc
+from .utils.analysis import nearest, str2array, tic, toc
+
+# Drop-in aliases mirroring the names visible in the reference lab module
+# namespace (reference lab.py:29-36 imports typing/utils names directly).
+binary_sequence = BinarySequence
+electrical_signal = ElectricalSignal
+eye = Eye
 
 __all__ = [
     "search_inst", "connect_inst", "list_serial_ports",

@@ -4,3 +4,10 @@ from .models.ook import __all__  # noqa: F401
 # the reference's ook module also exposes the devices it uses
 # (reference ook.py:16: ``from .devices import GET_EYE, SAMPLER, LPF``)
 from .devices import GET_EYE, LPF, SAMPLER  # noqa: F401
+# ... and the typing/utils names it imports into its namespace
+# (reference ook.py:16-18: gv, binary_sequence, electrical_signal, eye, Q, tic, toc)
+from .params import gv  # noqa: F401
+from .signals import binary_sequence, electrical_signal  # noqa: F401
+from .eyediag import eye  # noqa: F401
+from .utils.analysis import tic, toc  # noqa: F401
+from .utils.theory import Q  # noqa: F401

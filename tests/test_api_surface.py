@@ -20,6 +20,14 @@ if not os.path.isdir(os.path.join(REF_PATH, "opticomlib")):
 
 
 def _stub(name, **attrs):
+    # Only stub modules that are genuinely absent from the environment —
+    # shadowing an installed module would pollute every later test file.
+    import importlib.util
+    try:
+        if importlib.util.find_spec(name) is not None:
+            return
+    except (ImportError, ValueError):
+        pass
     mod = types.ModuleType(name)
     mod.__path__ = []
     for k, v in attrs.items():

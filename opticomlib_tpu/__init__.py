@@ -88,9 +88,7 @@ def sizeof(obj) -> int:
     """
     try:
         from pympler.asizeof import asizeof
-        s = int(asizeof(obj))
-        if s > 0:  # a stubbed pympler (test harness) returns 0 — fall through
-            return s
+        return int(asizeof(obj))
     except (ImportError, TypeError):
         pass
     import sys as _sys

@@ -359,9 +359,9 @@ def DM(input: OpticalSignal, D: float, retH: bool = False):
     noi = (filters.apply_freq_response(input.noise, H)
            if _has_noise(input.noise) else NULL)
     output = OpticalSignal(sig, noi, n_pol=input.n_pol)
+    output.execution_time = toc()
     if retH:
         return output, np.fft.fftshift(H)
-    output.execution_time = toc()
     return output
 
 
@@ -379,8 +379,10 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
     The propagation loop runs fully on-device inside jit
     (see :mod:`opticomlib_tpu.ops.ssfm`) — the reference's CuPy backend
     switch (devices.py:1114-1134) is replaced by XLA compilation.
-    ``show_progress`` is accepted for API parity (the jitted loop has no
-    host-visible per-step progress).
+    ``show_progress=True`` renders a tqdm bar fed by an async per-step
+    ``jax.debug.callback`` (parity with reference devices.py:1164-1170);
+    the callback is only compiled in when requested, so the default path
+    pays nothing.
 
     ``method`` selects the splitting scheme (beyond-parity option):
 
@@ -420,13 +422,29 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
             beta_3=float(beta_3), gamma=float(gamma), tol=float(tol),
             h0=None if h is None else float(h))
     else:
-        result = ssfm.ssfm_propagate(
-            A, w, length=float(length), alpha=float(alpha),
-            beta_2=float(beta_2), beta_3=float(beta_3), gamma=float(gamma),
-            phi_max=float(phi_max), h=None if h is None else float(h),
-            return_steps=return_steps)
+        progress = show_progress and not return_steps
+        if progress and not ssfm.callbacks_supported():
+            warnings.warn(
+                "show_progress needs device->host callbacks, which this "
+                "JAX backend does not support; running without a progress "
+                "bar.", RuntimeWarning)
+            progress = False
+
+        def _run():
+            return ssfm.ssfm_propagate(
+                A, w, length=float(length), alpha=float(alpha),
+                beta_2=float(beta_2), beta_3=float(beta_3),
+                gamma=float(gamma), phi_max=float(phi_max),
+                h=None if h is None else float(h),
+                return_steps=return_steps, progress=progress)
+        if progress:
+            with ssfm.progress_bar():
+                result = _run()
+        else:
+            result = _run()
 
     if return_steps:
+        toc()  # balance the timer stack (no result object to annotate)
         return result  # (z, A_z)
 
     output = OpticalSignal(np.asarray(result), n_pol=input.n_pol)
@@ -472,6 +490,7 @@ def LPF(input, BW: float, n: int = 4, fs: Optional[float] = None,
 
     if retH:
         H = filters.bessel_sos_response(n, float(BW), float(fs), input.size)
+        output.execution_time = toc()
         return output, np.fft.fftshift(H)
     output.execution_time = toc()
     return output
@@ -863,9 +882,9 @@ def FBG(input: OpticalSignal, neff: float = 1.45, v: float = 1.0,
            if _has_noise(input.noise) else NULL)
     output = OpticalSignal(sig, noi, n_pol=input.n_pol)
 
+    output.execution_time = toc()
     if retH:
         return output, H
-    output.execution_time = toc()
     return output
 
 

@@ -38,10 +38,13 @@ from .signals import BinarySequence, ElectricalSignal, NULL, _has_noise
 from .utils.analysis import nearest, str2array, tic, toc
 
 # Drop-in aliases mirroring the names visible in the reference lab module
-# namespace (reference lab.py:29-36 imports typing/utils names directly).
+# namespace (reference lab.py:26-36 imports typing/utils names directly,
+# including the numeric ABCs IntegerNumber/RealNumber and Iterable).
 binary_sequence = BinarySequence
 electrical_signal = ElectricalSignal
 eye = Eye
+IntegerNumber = Integral
+from numbers import Real as RealNumber  # noqa: E402
 
 __all__ = [
     "search_inst", "connect_inst", "list_serial_ports",

@@ -11,3 +11,10 @@ from .signals import binary_sequence, electrical_signal  # noqa: F401
 from .eyediag import eye  # noqa: F401
 from .utils.analysis import tic, toc  # noqa: F401
 from .utils.theory import Q  # noqa: F401
+
+# star-import drop-in parity: the reference ook module has no __all__, so
+# ``from opticomlib.ook import *`` exports the names above too
+__all__ = list(__all__) + [  # noqa: F405
+    "GET_EYE", "LPF", "SAMPLER", "gv", "binary_sequence",
+    "electrical_signal", "eye", "tic", "toc", "Q",
+]

@@ -40,9 +40,73 @@ import numpy as np
 
 __all__ = ["linear_operator", "dispersion_phase", "ssfm_propagate",
            "ssfm_step_schedule", "dispersive_step", "ssfm_scan_o4",
-           "ssfm_local_error"]
+           "ssfm_local_error", "progress_bar"]
 
 _LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
+
+
+# ----------------------------------------------------------------------
+# progress reporting (reference devices.py:1164-1170 tqdm bar).  The jitted
+# loops emit an async ``jax.debug.callback`` per step when compiled with
+# ``progress=True``; the callback dispatches to a module-level handler so the
+# compiled program stays cacheable across calls.  Zero cost when disabled
+# (static flag -> callback not traced in).
+# ----------------------------------------------------------------------
+_progress_handler = None
+_CB_SUPPORTED: Optional[bool] = None
+
+
+def _progress_tick(z, length):  # pragma: no cover - host-side I/O
+    if _progress_handler is not None:
+        _progress_handler(float(z), float(length))
+
+
+def callbacks_supported() -> bool:
+    """Whether the active backend supports device->host callbacks (some
+    tunneled PJRT plugins do not).  Probed once with a tiny jitted program."""
+    global _CB_SUPPORTED
+    if _CB_SUPPORTED is None:
+        try:
+            def _probe(x):
+                jax.debug.callback(lambda v: None, x)
+                return x
+            jax.block_until_ready(jax.jit(_probe)(jnp.float32(0)))
+            _CB_SUPPORTED = True
+        except Exception:
+            _CB_SUPPORTED = False
+    return _CB_SUPPORTED
+
+
+class progress_bar:
+    """Context manager installing a tqdm progress handler for SSFM loops
+    compiled with ``progress=True`` (used by ``FIBER(show_progress=True)``)."""
+
+    def __enter__(self):  # pragma: no cover - host-side I/O
+        global _progress_handler
+        from tqdm import tqdm
+        self._bar = tqdm(total=100.0, unit="%",
+                         bar_format="{l_bar}{bar}| {n:.1f}/{total}% "
+                                    "[{elapsed}, {postfix}]")
+        self._bar.set_postfix(step=0)
+        self._n = 0
+
+        def update(z, length):
+            self._n += 1
+            pct = min(100.0, 100.0 * z / max(length, 1e-30))
+            self._bar.n = round(pct, 1)
+            self._bar.set_postfix(step=self._n)
+            self._bar.refresh()
+
+        _progress_handler = update
+        return self
+
+    def __exit__(self, *exc):  # pragma: no cover - host-side I/O
+        global _progress_handler
+        _progress_handler = None
+        self._bar.n = self._bar.total
+        self._bar.refresh()
+        self._bar.close()
+        return False
 
 
 def linear_operator(w_rad_s: np.ndarray, alpha_db_km: float, beta2: float,
@@ -101,9 +165,9 @@ def _nl_l_nl_step(A, phi_w, alpha, h, gamma, E=None):
     return A * half_nl
 
 
-@partial(jax.jit, static_argnames=("adaptive",))
+@partial(jax.jit, static_argnames=("adaptive", "progress"))
 def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
-               adaptive: bool):
+               adaptive: bool, progress: bool = False):
     """while_loop SSFM on planar inputs: returns (re, im, n_steps)."""
     A = jax.lax.complex(Are, Aim)
     alpha = jnp.float32(alpha)
@@ -132,6 +196,8 @@ def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
             h_next = h0
         h_next = jnp.minimum(h_next, length - z)
         h_next = jnp.maximum(h_next, h_floor)
+        if progress:
+            jax.debug.callback(_progress_tick, z, length)
         return (A, z, h_next.astype(jnp.float32), steps + 1)
 
     h_init = jnp.minimum(jnp.float32(h0), length)
@@ -140,8 +206,8 @@ def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
     return A.real, A.imag, steps
 
 
-@jax.jit
-def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha):
+@partial(jax.jit, static_argnames=("progress",))
+def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha, progress: bool = False):
     """Fixed-schedule SSFM via lax.scan on planar inputs (known number of
     steps).  The linear factor for the schedule's leading step size is
     precomputed once outside the scan; only off-schedule steps (the final
@@ -152,13 +218,19 @@ def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha):
     gamma = jnp.float32(gamma)
     h0 = hs[0]
     E0 = _lin_factor(phi_w, alpha, h0)
+    length = jnp.sum(hs)
 
-    def step(A, h):
+    def step(carry, h):
+        A, z = carry
         E = jax.lax.cond(h == h0, lambda: E0,
                          lambda: _lin_factor(phi_w, alpha, h))
-        return _nl_l_nl_step(A, phi_w, alpha, h, gamma, E=E), None
+        A = _nl_l_nl_step(A, phi_w, alpha, h, gamma, E=E)
+        z = z + h
+        if progress:
+            jax.debug.callback(_progress_tick, z, length)
+        return (A, z), None
 
-    A, _ = jax.lax.scan(step, A, hs)
+    (A, _), _ = jax.lax.scan(step, (A, jnp.float32(0.0)), hs)
     return A.real, A.imag
 
 
@@ -350,6 +422,7 @@ def ssfm_propagate(
     h: Optional[float] = None,
     return_steps: bool = False,
     planar_in: Optional[Tuple] = None,
+    progress: bool = False,
 ):
     """Propagate field ``A`` (complex, last axis = time) through ``length``
     km of fiber.  Drop-in behavioral equivalent of reference
@@ -384,13 +457,15 @@ def ssfm_propagate(
 
     if h is not None:
         hs = jnp.asarray(ssfm_step_schedule(length, h))
-        re, im = _ssfm_scan(Are, Aim, phi_w, hs, gamma, a_km)
+        re, im = _ssfm_scan(Are, Aim, phi_w, hs, gamma, a_km,
+                            progress=progress)
         return _out(re, im)
 
     if linear_only:
         # single step over the whole span (reference h0 = length)
         hs = jnp.asarray([length], dtype=jnp.float32)
-        re, im = _ssfm_scan(Are, Aim, phi_w, hs, gamma, a_km)
+        re, im = _ssfm_scan(Are, Aim, phi_w, hs, gamma, a_km,
+                            progress=progress)
         return _out(re, im)
 
     # adaptive: initial step from the input peak power (host probe when the
@@ -401,7 +476,7 @@ def ssfm_propagate(
         maxP0 = float(_planar_max_power(Are, Aim))
     h0 = min(phi_max / (abs(gamma) * maxP0), length)
     re, im, _ = _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0,
-                           a_km, adaptive=True)
+                           a_km, adaptive=True, progress=progress)
     return _out(re, im)
 
 

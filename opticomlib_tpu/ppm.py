@@ -8,7 +8,14 @@ from .devices import GET_EYE, LPF, SAMPLER  # noqa: F401
 # (reference ppm.py:21-23: gv, binary_sequence, electrical_signal, eye,
 #  Q, dec2bin, str2array, tic, toc)
 from .params import gv  # noqa: F401
-from .signals import binary_sequence, electrical_signal  # noqa: F401
+from .signals import Array_Like, binary_sequence, electrical_signal  # noqa: F401
 from .eyediag import eye  # noqa: F401
 from .utils.analysis import dec2bin, str2array, tic, toc  # noqa: F401
 from .utils.theory import Q  # noqa: F401
+
+# star-import drop-in parity: the reference ppm module has no __all__, so
+# ``from opticomlib.ppm import *`` exports the names above too
+__all__ = list(__all__) + [  # noqa: F405
+    "GET_EYE", "LPF", "SAMPLER", "gv", "Array_Like", "binary_sequence",
+    "electrical_signal", "eye", "dec2bin", "str2array", "tic", "toc", "Q",
+]

@@ -37,8 +37,10 @@ def _stub(name, **attrs):
 
 @pytest.fixture(scope="module")
 def ref_mods():
+    def _no_pympler(o):
+        raise ImportError("pympler stub (test harness)")
     _stub("pympler")
-    _stub("pympler.asizeof", asizeof=lambda o: 0)
+    _stub("pympler.asizeof", asizeof=_no_pympler)
     _stub("pyvisa")
     _stub("serial")
     _stub("serial.tools")

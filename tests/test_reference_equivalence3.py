@@ -19,7 +19,9 @@ def ref():
                  "serial.tools", "serial.tools.list_ports"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
-    sys.modules["pympler.asizeof"].asizeof = lambda o: 0
+    def _no_pympler(o):
+        raise ImportError("pympler stub (test harness)")
+    sys.modules["pympler.asizeof"].asizeof = _no_pympler
     sys.modules["pympler"].asizeof = sys.modules["pympler.asizeof"]
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)

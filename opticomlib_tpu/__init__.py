@@ -48,6 +48,7 @@ from . import devices  # noqa: E402
 from . import lab      # noqa: E402
 from . import ook      # noqa: E402
 from . import ppm      # noqa: E402
+from . import rng      # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -66,7 +67,7 @@ __all__ = [
     "theory_BER",
     "nrz_pulse", "gauss_pulse", "rcos_pulse", "upfir", "fft_convolve_same",
     "resample_fft",
-    "devices", "lab", "ook", "ppm", "np", "ndarray",
+    "devices", "lab", "ook", "ppm", "rng", "np", "ndarray",
     # reference-script drop-in convenience re-exports
     # (reference opticomlib/__init__.py star-exports these via typing/utils;
     # docstring examples use `from opticomlib import gv, np, plt` and

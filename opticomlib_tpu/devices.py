@@ -41,8 +41,10 @@ import numpy as np
 import scipy.signal as sg
 from scipy.constants import c, e, h, k as kB, pi
 
+from . import rng
 from .eyediag import Eye, eye
-from .ops import eyeana, filters, prbs as prbs_ops, pulses, ssfm
+from .ops import eyeana, filters, noise as noise_ops, prbs as prbs_ops, \
+    pulses, ssfm
 from .params import gv
 from .signals import (
     NULL, Array_Like, BinarySequence, ComplexNumber, ElectricalSignal,
@@ -172,21 +174,38 @@ def DAC(input, pulse_shape: str = "nrz", coupling: str = "DC",
 # LASER (reference devices.py:353-510)
 # ---------------------------------------------------------------------------
 def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
-          df: Optional[float] = None) -> OpticalSignal:
+          df: Optional[float] = None, key=None) -> OpticalSignal:
     """CW laser complex envelope with Wiener phase noise (variance
     ``2*pi*lw*dt`` per step, reference devices.py:485-490), Gaussian RIN
-    (variance ``idb(rin)*fs``, devices.py:492-500), and frequency offset."""
+    (variance ``idb(rin)*fs``, devices.py:492-500), and frequency offset.
+
+    ``key``: optional ``jax.random`` key or int seed for **device-side,
+    reproducible** noise (see :mod:`opticomlib_tpu.rng`); also drawn
+    implicitly from the global stream after ``gv(seed=...)``.  Without a
+    key the reference's legacy host NumPy RNG is used.
+    """
     tic()
     t = gv.t
     out = np.ones_like(t) * np.sqrt(idbm(P0))
 
+    key = rng.resolve(key)
+    if key is not None:
+        k_ph, k_rin = jax.random.split(key)
+
     if lw is not None and lw > 0:
-        phase_noise = np.cumsum(
-            np.random.normal(0, np.sqrt(2 * pi * lw * gv.dt), t.size))
+        sigma = np.sqrt(2 * pi * lw * gv.dt)
+        if key is not None:
+            phase_noise = noise_ops.wiener_phase(k_ph, t.size, sigma)
+        else:
+            phase_noise = np.cumsum(np.random.normal(0, sigma, t.size))
         out = out * np.exp(1j * phase_noise)
 
     if rin is not None:
-        rin_noise = np.random.normal(0, np.sqrt(idb(rin) * gv.fs), t.size)
+        sigma = np.sqrt(idb(rin) * gv.fs)
+        if key is not None:
+            rin_noise = noise_ops.gaussian(k_rin, t.size, sigma)
+        else:
+            rin_noise = np.random.normal(0, sigma, t.size)
         if rin_noise.min() < -1:
             raise ValueError(
                 "Noise power is to high, try decrease RIN parameter.")
@@ -308,10 +327,14 @@ def BPF(input: OpticalSignal, BW: float, n: int = 4) -> OpticalSignal:
 # EDFA (reference devices.py:829-942)
 # ---------------------------------------------------------------------------
 def EDFA(input: OpticalSignal, G: float, NF: float,
-         BW: Optional[float] = None) -> OpticalSignal:
+         BW: Optional[float] = None, key=None) -> OpticalSignal:
     """Flat-gain amplifier: field gain ``sqrt(G)`` plus ASE noise of power
     ``NF*h*f0*(G-1)*fs`` split over two polarizations x (re, im)
-    (reference devices.py:930-936)."""
+    (reference devices.py:930-936).
+
+    ``key``: optional key/seed for device-side reproducible ASE
+    (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
+    """
     tic()
     if not isinstance(input, OpticalSignal):
         raise TypeError("`input` must be of type 'optical_signal'.")
@@ -330,8 +353,12 @@ def EDFA(input: OpticalSignal, G: float, NF: float,
             output.noise = noi
 
     P_ase = idb(NF) * h * gv.f0 * (idb(G) - 1) * gv.fs
-    ase = np.sqrt(P_ase / 4) * np.random.randn(4, input.size)
-    ase = ase[:2] + 1j * ase[2:]
+    key = rng.resolve(key)
+    if key is not None:
+        ase = noise_ops.ase_draws(key, input.size, P_ase)
+    else:
+        ase = np.sqrt(P_ase / 4) * np.random.randn(4, input.size)
+        ase = ase[:2] + 1j * ase[2:]
 
     noi = output.noise + ase if _has_noise(output.noise) else ase
     output = OpticalSignal(output.signal, noi, n_pol=2)
@@ -501,7 +528,7 @@ def LPF(input, BW: float, n: int = 4, fs: Optional[float] = None,
 # ---------------------------------------------------------------------------
 def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
        R_load: float = 50.0, include_noise: str = "all",
-       i_dark: float = 10e-9, Fn: float = 0) -> ElectricalSignal:
+       i_dark: float = 10e-9, Fn: float = 0, key=None) -> ElectricalSignal:
     """PIN photodetector.
 
     ``i = r*|E|^2`` summed over polarizations; the signal-ASE and ASE-ASE
@@ -510,6 +537,9 @@ def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
     ``4*kB*T*Fn*Df/R_L`` and shot noise ``2*e*(i_mean+i_dark)*Df`` are drawn
     as Gaussians (devices.py:1521-1527); output is the voltage ``i*R_L``
     low-pass filtered to ``BW``.
+
+    ``key``: optional key/seed for device-side reproducible thermal/shot
+    noise (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
     """
     tic()
     if not isinstance(input, OpticalSignal):
@@ -542,14 +572,24 @@ def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
             "'ase-only','thermal-only','shot-only','ase-thermal','ase-shot',"
             "'thermal-shot','all', 'none'.")
 
+    key = rng.resolve(key)
+    if key is not None:
+        k_T, k_N = jax.random.split(key)
+
     i_T = i_N = None
     if "thermal" in include_noise or include_noise == "all":
         S_T = 4 * kB * T * gv.fs / 2 * idb(Fn) / R_load
-        i_T = np.random.normal(0, S_T**0.5, input.size)
+        if key is not None:
+            i_T = noise_ops.gaussian(k_T, input.size, S_T**0.5)
+        else:
+            i_T = np.random.normal(0, S_T**0.5, input.size)
     if "shot" in include_noise or include_noise == "all":
         mean_i = float(np.mean(np.asarray(i_ph.to_numpy()).real))
         S_N = 2 * e * (mean_i + i_dark) * gv.fs / 2
-        i_N = np.random.normal(0, S_N**0.5, input.size)
+        if key is not None:
+            i_N = noise_ops.gaussian(k_N, input.size, S_N**0.5)
+        else:
+            i_N = np.random.normal(0, S_N**0.5, input.size)
 
     ase = np.asarray(i_ph.noise).real if _has_noise(i_ph.noise) else 0.0
 

@@ -259,6 +259,9 @@ class GlobalVariables:
 
         for key, value in kwargs.items():
             self._extras[key] = value
+            if key == "seed":  # seed the device-noise key stream
+                from . import rng
+                rng.seed(int(value))
         return self
 
     def default(self) -> "GlobalVariables":
@@ -266,6 +269,9 @@ class GlobalVariables:
         self.plt_style = "fast"
         self.verbose = None
         logger.setLevel(logging.NOTSET)
+        if "seed" in self._extras:
+            from . import rng
+            rng.clear()
         self._extras.clear()
         return self
 

@@ -1,25 +1,32 @@
-"""Headline benchmark: SSFM throughput on a 2^24-sample OOK link
-(BASELINE.json metric).
+"""Headline benchmark (BASELINE.json metric) + full-chain link throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+
+* ``metric/value``  — SSFM throughput on the 2^24-sample OOK link (the
+  BASELINE.json headline: 50 km NLSE, alpha=0.2, beta2=-21, gamma=1.3,
+  phi_max=0.01 adaptive, 20 mW peak -> ~100 steps of 2 FFTs each).
+* ``detail.full_chain_samples_per_s`` — the SAME waveform through the
+  PUBLIC fused end-to-end program (opticomlib_tpu.link): PRBS bits ->
+  DAC pulse shaping -> MZM -> 50 km SSFM -> EDFA(ASE) -> PD(thermal+shot)
+  -> Bessel LPF -> slot samples, one XLA program, keyed on-device noise.
+* ``detail.b2b_chain_samples_per_s`` — BASELINE config 1 (back-to-back).
+
+``--all`` additionally benches BASELINE configs 3 (PPM M=8), 4 (20x80 km
++ DBP, at 2^20 samples) and 5 (16-WDM-channel batch, per-chip shard) and
+writes BENCH_ALL.json.
 
 ``vs_baseline`` is the speedup over the locally measured reference
 (armando-palacio/opticomlib) NumPy FIBER on this container's CPU
-(BASELINE_MEASURED.json, produced by scripts/measure_reference.py — the
-reference publishes no numbers, see BASELINE.md).
-
-Identical physics config to the reference measurement: 50 km NLSE
-(alpha=0.2 dB/km, beta2=-21 ps^2/km, gamma=1.3 /W/km), adaptive split-step
-with phi_max=0.01, 20 mW peak OOK input -> ~130 steps of 2 FFTs each.
+(BASELINE_MEASURED.json; the reference publishes no numbers, BASELINE.md).
 
 All device boundaries are planar float32 (re, im) — this runtime cannot
-transfer complex arrays host<->device.  Timing is synchronized by an
-int32 step-count readback (block_until_ready is unreliable on the axon
-tunnel), which costs one scalar round-trip per rep.
+transfer complex arrays host<->device.  Timing is synchronized by a scalar
+readback (block_until_ready is unreliable on the axon tunnel).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -28,20 +35,33 @@ import numpy as np
 N_BITS = 2**18
 SPS = 64
 N = N_BITS * SPS  # 2^24 samples
+R = 10e9
 CFG = dict(length=50.0, alpha=0.2, beta_2=-21.0, gamma=1.3, phi_max=0.01)
 PEAK_W = 0.02
 
 
-def main():
+def _time(fn, reps=3):
+    """Best wall time of fn() (fn must synchronize internally)."""
+    fn()  # warmup / compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_ssfm_headline():
+    """SSFM-only throughput at 2^24 samples (round-1 metric, kept as the
+    headline for cross-round comparability)."""
     import jax
-    import jax.numpy as jnp
 
     from opticomlib_tpu.ops import ssfm
 
     rng = np.random.default_rng(42)
     bits = rng.integers(0, 2, N_BITS)
     A = (np.repeat(bits, SPS) * np.sqrt(PEAK_W)).astype(np.complex64)
-    w = 2 * np.pi * np.fft.fftfreq(N) * 10e9 * SPS
+    w = 2 * np.pi * np.fft.fftfreq(N) * R * SPS
     phi_w = ssfm.dispersion_phase(w, CFG["beta_2"], 0.0)
     a_km = ssfm.alpha_per_km(CFG["alpha"])
 
@@ -52,22 +72,211 @@ def main():
     maxP0 = float(np.max(A.real**2 + A.imag**2))
     h0 = min(CFG["phi_max"] / (CFG["gamma"] * maxP0), CFG["length"])
 
+    steps_box = {}
+
     def run():
         re, im, steps = ssfm._ssfm_loop(
             Are, Aim, phi_w, CFG["length"], CFG["gamma"],
             CFG["phi_max"], h0, a_km, adaptive=True)
-        return int(steps)  # scalar readback = synchronization point
+        steps_box["n"] = int(steps)  # scalar readback = sync point
 
-    n_steps = run()  # warmup (compile)
+    best = _time(run)
+    return N / best, {"n_steps": steps_box["n"], "wall_s": round(best, 3)}
 
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
 
-    samples_per_s = N / best
+def _build_ook_link(stages, n_bits=N_BITS, sps=SPS, P0=16.0):
+    """P0=16 dBm with 3 dB MZM loss -> ~20 mW peak launch, matching the
+    SSFM-only headline config (PEAK_W) so step counts are comparable."""
+    from opticomlib_tpu.link import LinkSpec, build_link
+    from opticomlib_tpu.params import SimParams
+
+    params = SimParams.create(sps=sps, R=R, _warn=False)
+    spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=P0,
+                    pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                    stages=stages, pd_BW=0.75 * R)
+    return build_link(spec, n_bits=n_bits, params=params)
+
+
+def bench_full_chain():
+    """BASELINE config 2 through the public fused link (bits -> RX slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.link import EDFASpec, FiberSpec
+
+    prog = _build_ook_link((FiberSpec(**CFG), EDFASpec(G=10, NF=5)))
+    rng = np.random.default_rng(1)
+    bits = jnp.asarray(rng.integers(0, 2, N_BITS).astype(np.float32))
+    seed = jnp.uint32(7)
+
+    def run():
+        v, slots = prog.jitted(bits, seed)[:2]
+        float(slots[123])  # scalar readback = sync point
+
+    best = _time(run, reps=2)
+    return N / best, {"wall_s": round(best, 3)}
+
+
+def bench_b2b_chain():
+    """BASELINE config 1: back-to-back (no fiber) full chain."""
+    import jax.numpy as jnp
+
+    prog = _build_ook_link(())
+    rng = np.random.default_rng(2)
+    bits = jnp.asarray(rng.integers(0, 2, N_BITS).astype(np.float32))
+    seed = jnp.uint32(8)
+
+    def run():
+        v, slots = prog.jitted(bits, seed)[:2]
+        float(slots[123])
+
+    best = _time(run, reps=2)
+    return N / best, {"wall_s": round(best, 3)}
+
+
+def bench_ppm(M=8, n_sym=2**15, sps=32):
+    """BASELINE config 3: PPM M=8 TX->channel->RX chain + soft decision.
+
+    The waveform chain (encode -> DAC -> MZM -> fiber -> PD -> LPF) is the
+    fused link on the PPM slot sequence; SDD argmax runs host-side (it is
+    O(n) on 1 sample/slot, not on the throughput path)."""
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.link import FiberSpec
+    from opticomlib_tpu.models import ppm as ppm_mod
+    from opticomlib_tpu.ops.prbs import prbs as _prbs
+
+    k = int(np.log2(M))
+    bits, _ = _prbs(15, length=n_sym * k)
+    slots = ppm_mod.PPM_ENCODER(bits, M)
+    n_slots = slots.size
+    prog = _build_ook_link((FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
+                                      gamma=1.3),),
+                           n_bits=n_slots, sps=sps)
+    x = jnp.asarray(slots.to_numpy(np.float32))
+    seed = jnp.uint32(3)
+
+    def run():
+        v, s = prog.jitted(x, seed)[:2]
+        float(s[17])
+
+    best = _time(run, reps=2)
+    return n_slots * sps / best, {"M": M, "wall_s": round(best, 3)}
+
+
+def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
+    """BASELINE config 4: 20x80 km spans + full-length DBP equalizer,
+    adaptive stepping, at 2^20 samples (smaller window keeps the bench
+    round under budget; throughput is per-sample-step invariant)."""
+    import jax
+
+    from opticomlib_tpu.ops import ssfm
+
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, n // sps)
+    A = (np.repeat(bits, sps) * np.sqrt(0.005)).astype(np.complex64)
+    w = 2 * np.pi * np.fft.fftfreq(n) * R * sps
+    phi_w = jax.device_put(ssfm.dispersion_phase(w, -21.0, 0.0))
+    a_km = ssfm.alpha_per_km(0.2)
+    Are = jax.device_put(np.ascontiguousarray(A.real))
+    Aim = jax.device_put(np.ascontiguousarray(A.imag))
+    g = 1.3
+    maxP0 = float(np.max(np.abs(A)) ** 2)
+    h0 = min(0.05 / (g * maxP0), span_km)
+    gain = np.float32(10 ** (0.2 * span_km / 20))
+
+    steps_total = {}
+
+    def run():
+        re, im = Are, Aim
+        nst = 0
+        for _ in range(n_spans):  # spans + transparent EDFA gain
+            re, im, s = ssfm._ssfm_loop(re, im, phi_w, span_km, g, 0.05,
+                                        h0, a_km, adaptive=True)
+            re, im = re * gain, im * gain
+            nst += int(s)
+        # DBP: per-span backward passes (remove span gain, then propagate
+        # with all operator signs flipped) — keeps power bounded, exactly
+        # inverting the forward link span by span
+        for _ in range(n_spans):
+            re, im = re / gain, im / gain
+            re, im, s = ssfm._ssfm_loop(re, im, phi_w, span_km, -g,
+                                        0.05, h0, -a_km, adaptive=True)
+            nst += int(s)
+        steps_total["n"] = nst
+
+    best = _time(run, reps=2)
+    return n / best, {"n_samples": n, "total_steps": steps_total["n"],
+                      "wall_s": round(best, 3)}
+
+
+def bench_wdm_batch(n_ch=16, n=2**22, h=1.0):
+    """BASELINE config 5, per-chip shard: 16 WDM channels x 2^22 samples
+    batched on one chip (the multi-chip version shards channels+time over
+    the mesh — see parallel/fiber.py and MULTICHIP dryrun)."""
+    import jax
+
+    from opticomlib_tpu.ops import ssfm
+
+    rng = np.random.default_rng(5)
+    A = ((rng.integers(0, 2, (n_ch, n // 16)).repeat(16, axis=1))
+         * np.sqrt(0.002)).astype(np.complex64)
+    w = 2 * np.pi * np.fft.fftfreq(n) * R * 16
+    phi_w = jax.device_put(ssfm.dispersion_phase(w, -21.0, 0.0))
+    a_km = ssfm.alpha_per_km(0.2)
+    Are = jax.device_put(np.ascontiguousarray(A.real))
+    Aim = jax.device_put(np.ascontiguousarray(A.imag))
+    hs = ssfm.ssfm_step_schedule(50.0, h)
+    import jax.numpy as jnp
+    hs = jnp.asarray(hs)
+
+    def run():
+        re, im = ssfm._ssfm_scan(Are, Aim, phi_w, hs, 1.3, a_km)
+        float(re[0, 42])
+
+    best = _time(run, reps=2)
+    return n_ch * n * len(hs) / best / len(hs), {
+        "n_ch": n_ch, "n_per_ch": n, "n_steps": int(len(hs)),
+        "wall_s": round(best, 3)}
+
+
+def main():
+    run_all = "--all" in sys.argv
+
+    ssfm_sps, ssfm_detail = bench_ssfm_headline()
+    chain_sps, chain_detail = bench_full_chain()
+    b2b_sps, b2b_detail = bench_b2b_chain()
+
+    detail = {
+        **ssfm_detail,
+        "full_chain_samples_per_s": round(chain_sps, 1),
+        "full_chain_wall_s": chain_detail["wall_s"],
+        "b2b_chain_samples_per_s": round(b2b_sps, 1),
+    }
+
+    if run_all:
+        ppm_sps, ppm_d = bench_ppm()
+        dbp_sps, dbp_d = bench_dbp()
+        wdm_sps, wdm_d = bench_wdm_batch()
+        all_results = {
+            "config1_b2b_chain": {"samples_per_s": round(b2b_sps, 1),
+                                  **b2b_detail},
+            "config2_ssfm_only": {"samples_per_s": round(ssfm_sps, 1),
+                                  **ssfm_detail},
+            "config2_full_chain": {"samples_per_s": round(chain_sps, 1),
+                                   **chain_detail},
+            "config3_ppm8_chain": {"samples_per_s": round(ppm_sps, 1),
+                                   **ppm_d},
+            "config4_dbp_20x80": {"samples_per_s": round(dbp_sps, 1),
+                                  **dbp_d},
+            "config5_wdm16_per_chip": {"samples_per_s": round(wdm_sps, 1),
+                                       **wdm_d},
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_ALL.json"), "w") as f:
+            json.dump(all_results, f, indent=1)
+        detail["all"] = {k: v["samples_per_s"]
+                         for k, v in all_results.items()}
 
     vs = 0.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -76,14 +285,14 @@ def main():
         with open(base_path) as f:
             ref = json.load(f)
         if ref.get("samples_per_s"):
-            vs = samples_per_s / ref["samples_per_s"]
+            vs = ssfm_sps / ref["samples_per_s"]
 
     print(json.dumps({
         "metric": "ssfm_2e24_ook_throughput",
-        "value": round(samples_per_s, 1),
+        "value": round(ssfm_sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs, 2),
-        "detail": {"n_steps": n_steps, "wall_s": round(best, 3)},
+        "detail": detail,
     }))
 
 

@@ -46,6 +46,7 @@ from .ops.pulses import (
 
 from . import devices  # noqa: E402
 from . import lab      # noqa: E402
+from . import link     # noqa: E402
 from . import ook      # noqa: E402
 from . import ppm      # noqa: E402
 from . import rng      # noqa: E402
@@ -67,7 +68,7 @@ __all__ = [
     "theory_BER",
     "nrz_pulse", "gauss_pulse", "rcos_pulse", "upfir", "fft_convolve_same",
     "resample_fft",
-    "devices", "lab", "ook", "ppm", "rng", "np", "ndarray",
+    "devices", "lab", "link", "ook", "ppm", "rng", "np", "ndarray",
     # reference-script drop-in convenience re-exports
     # (reference opticomlib/__init__.py star-exports these via typing/utils;
     # docstring examples use `from opticomlib import gv, np, plt` and

@@ -1,0 +1,421 @@
+"""Fused end-to-end link: the whole TX -> channel -> RX chain as ONE XLA
+program.
+
+The reference's canonical entry point is the staged chain
+(reference examples/ook_transmission_fiber_simulation.py:27-67:
+PRBS -> DAC -> LASER -> MZM -> FIBER -> PD -> DSP), where every stage is a
+separate host call.  Here the *entire* chain compiles into a single jitted
+program with planar float32 boundaries: bits in, filtered photodiode
+voltage (+ slot samples) out.  Between the input and the output nothing
+touches the host — pulse shaping, modulation, split-step propagation,
+amplification, detection, and electrical filtering are one fused XLA
+graph, and every noise source draws from ``jax.random`` keys threaded
+in-graph (see :mod:`opticomlib_tpu.rng`), so a single ``seed`` scalar
+reproduces the full waveform.
+
+Design notes (differences from the staged device path, all deliberate):
+
+* **Circular convolution boundaries.**  DAC pulse shaping and the PD's
+  electrical low-pass are applied as length-``n`` circular (FFT-domain)
+  convolutions — the same boundary semantics the FFT-based fiber solver
+  already has (reference devices.py:1179) — instead of zero-padded
+  'same' convolutions.  Only the first/last ~pulse-span slots differ.
+* **Physical ASE.**  EDFA noise is *added to the propagating field* (and
+  detected square-law at the PD), rather than carried on the reference's
+  separate algebraic noise track (reference devices.py:1460-1479).  The
+  signal-ASE / ASE-ASE beat terms arise physically in ``|E|^2``.  Both
+  polarizations are carried after the first EDFA (the orthogonal-pol ASE
+  adds direct-detected power and ASE-ASE beat exactly as in the
+  reference's 2-pol model).
+* **Key threading matches the staged devices.**  The in-graph key stream
+  replicates ``gv(seed=...)`` + per-device ``rng.resolve()`` consumption
+  order, so a fused run with ``seed=s`` draws bit-identical noise to the
+  staged chain seeded with ``gv(seed=s)`` (tested in tests/test_link.py).
+
+Typical use::
+
+    from opticomlib_tpu.link import LinkSpec, FiberSpec, EDFASpec, build_link
+    spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                    pulse_shape="gaussian", stages=(
+                        FiberSpec(length=50, alpha=0.2, beta_2=-21, gamma=1.3),
+                        EDFASpec(G=10, NF=5),
+                    ), pd_BW=7.5e9)
+    prog = build_link(spec, n_bits=2**16)        # compiles once
+    res = prog.run(seed=42)                       # PRBS -> ... -> RX
+    ber = res.ber()                               # eye-threshold decision
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as _dc_field
+from types import SimpleNamespace
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.constants import e, h as h_planck, k as kB, pi
+
+from .ops import filters, pulses, ssfm
+from .ops.noise import gaussian_inside, wiener_phase_inside
+from .params import SimParams, gv
+from .signals import BinarySequence, ElectricalSignal
+from .utils.analysis import idb, idbm
+
+__all__ = ["FiberSpec", "EDFASpec", "LinkSpec", "LinkProgram", "build_link"]
+
+
+# ---------------------------------------------------------------------------
+# channel stage specs
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class FiberSpec:
+    """One fiber span (same physics as :func:`opticomlib_tpu.devices.FIBER`,
+    reference devices.py:1038-1206)."""
+    length: float                 # [km]
+    alpha: float = 0.0            # [dB/km]
+    beta_2: float = 0.0           # [ps^2/km]
+    beta_3: float = 0.0           # [ps^3/km]
+    gamma: float = 0.0            # [1/W/km]
+    phi_max: float = 0.01         # adaptive max NL phase [rad]
+    h: Optional[float] = None     # fixed step [km]; None -> adaptive
+
+
+@dataclass(frozen=True)
+class EDFASpec:
+    """Flat-gain amplifier + ASE (reference devices.py:829-942)."""
+    G: float                      # gain [dB]
+    NF: float                     # noise figure [dB]
+
+
+@dataclass(frozen=True)
+class LinkSpec:
+    """Full-link configuration (TX + channel stages + RX).
+
+    Field semantics match the corresponding staged devices
+    (DAC/LASER/MZM: reference devices.py:185-785; PD: devices.py:1378-1555).
+    """
+    # --- DAC (reference devices.py:185-350) ---
+    pulse_shape: str = "gaussian"         # 'nrz' | 'gaussian' | 'rcos'
+    pulse_kwargs: Tuple = ()              # (('m', 2), ('c', 0.0), ...)
+    pulse_span: int = 32                  # FIR span [slots]; the reference
+    # grows the span with the sequence length (span = bits-4), but a pulse
+    # is numerically zero beyond a few slots — 32 is < 1e-16 truncation for
+    # every supported shape and keeps the shaping FFT at length n.
+    Vpp: float = 1.0
+    offset: float = 0.0
+    coupling: str = "DC"                  # 'DC' | 'AC'
+    # --- LASER (reference devices.py:353-510) ---
+    P0: float = 0.0                       # [dBm]
+    lw: Optional[float] = None            # linewidth [Hz]
+    rin: Optional[float] = None           # RIN [dB/Hz]
+    df: Optional[float] = None            # frequency offset [Hz]
+    # --- MZM (reference devices.py:620-785) ---
+    bias: float = 0.0
+    Vpi: float = 5.0
+    loss_dB: float = 0.0
+    ER_dB: float = 26.0
+    # --- channel ---
+    stages: Tuple[Union[FiberSpec, EDFASpec], ...] = ()
+    # --- PD (reference devices.py:1378-1555) ---
+    pd_BW: float = 7.5e9                  # electrical bandwidth [Hz]
+    pd_r: float = 1.0                     # responsivity [A/W]
+    pd_T: float = 300.0                   # temperature [K]
+    pd_R_load: float = 50.0               # load resistance [ohm]
+    pd_Fn: float = 0.0                    # electrical noise figure [dB]
+    i_dark: float = 10e-9                 # dark current [A]
+    include_thermal: bool = True
+    include_shot: bool = True
+    lpf_order: int = 4
+    # --- sampling ---
+    sampler_instant: Optional[int] = None  # default sps//2 (ook.DSP)
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+def _pulse_taps(spec: LinkSpec, sps: int) -> np.ndarray:
+    kw = dict(spec.pulse_kwargs)
+    shape = spec.pulse_shape.lower()
+    span = int(spec.pulse_span)
+    if shape == "nrz":
+        return pulses.nrz_pulse(span=span, sps=sps, T=kw.get("T", 1))
+    if shape == "gaussian":
+        hp = pulses.gauss_pulse(span=span, sps=sps, T=kw.get("T", 1),
+                                m=kw.get("m", 1), c=kw.get("c", 0.0))
+        return hp.real if kw.get("c", 0.0) == 0 else hp
+    if shape == "rcos":
+        return pulses.rcos_pulse(beta=kw.get("beta", 0.25), span=span,
+                                 sps=sps, shape=kw.get("rcos_type", "normal"))
+    raise ValueError(f"unknown pulse_shape {spec.pulse_shape!r}")
+
+
+def _circular_zero_phase_spectrum(h: np.ndarray, n: int) -> np.ndarray:
+    """FFT spectrum of the kernel ``h`` centered at index 0 (zero phase),
+    for length-``n`` circular convolution equivalent to 'same' linear
+    convolution away from the edges."""
+    m = h.size
+    if m > n:
+        raise ValueError(f"pulse span ({m} taps) exceeds waveform ({n})")
+    buf = np.zeros(n, dtype=np.complex128 if np.iscomplexobj(h) else
+                   np.float64)
+    buf[:m] = h
+    buf = np.roll(buf, -((m - 1) // 2))
+    return np.fft.fft(buf).astype(np.complex64)
+
+
+class LinkProgram:
+    """A compiled end-to-end link.  Call :meth:`run` (host convenience),
+    :meth:`jitted` (compiled, prebuilt constants), or use :attr:`fn`
+    directly: ``fn(bits_f32, seed_u32, consts) -> (v_t, v_slots)`` — a
+    jittable pure function with planar float32 in/out (pass
+    :attr:`consts` for the third argument)."""
+
+    # NOTE: `fn` has signature (bits_f32, seed_u32, consts_pytree) — the
+    # large frequency-response / dispersion arrays travel as arguments
+    # (`self.consts`), never as embedded graph constants.
+    def __init__(self, spec: LinkSpec, n_bits: int, params: SimParams,
+                 return_field: bool = False):
+        self.spec = spec
+        self.n_bits = int(n_bits)
+        self.params = params
+        sps = params.sps
+        n = self.n_bits * sps
+        self.n = n
+        fs = params.fs
+        dt = 1.0 / fs
+
+        # ---- host-side constants ----
+        # Large length-n arrays are passed to the program as a pytree
+        # ARGUMENT (self.consts), not closed over: embedded constants get
+        # serialized into the compiled program (hundreds of MB at 2^24
+        # samples, too big for remote-compile transports).  Complex
+        # constants are stored planar (re, im) and recombined in-graph —
+        # complex arrays cannot cross the host<->device boundary on some
+        # TPU runtimes (see ops/ssfm.py "Planar jit boundaries").
+        consts = {}
+        hp = _pulse_taps(spec, sps)
+        Hp_np = _circular_zero_phase_spectrum(hp, n)
+        consts["Hp_re"] = jnp.asarray(Hp_np.real.astype(np.float32))
+        consts["Hp_im"] = jnp.asarray(Hp_np.imag.astype(np.float32))
+        pulse_complex = np.iscomplexobj(hp)
+
+        # laser t-axis: reference gv.t (linspace endpoint=True,
+        # typing.py:356) for drop-in equality with the staged LASER
+        t_axis = np.linspace(0.0, n / fs, n, endpoint=True)
+        P0_amp = float(np.sqrt(idbm(spec.P0)))
+        sigma_ph = (float(np.sqrt(2 * pi * spec.lw * dt))
+                    if spec.lw and spec.lw > 0 else 0.0)
+        sigma_rin = (float(np.sqrt(idb(spec.rin) * fs))
+                     if spec.rin is not None else 0.0)
+        if spec.df:
+            consts["df_phase"] = jnp.asarray(
+                (2 * pi * spec.df * t_axis).astype(np.float32))
+        has_df = bool(spec.df)
+
+        loss_amp = float(idb(-spec.loss_dB) ** 0.5)
+        eta_half = float(idb(-spec.ER_dB) ** 0.5)  # eta/2 with eta=2*10^-ER/20
+        g_scale = float(pi / 2 / spec.Vpi)
+
+        w = 2 * np.pi * np.fft.fftfreq(n) * fs
+        fiber_consts = []
+        _phi_cache = {}  # identical (beta_2, beta_3) spans share one array
+        for i, st in enumerate(spec.stages):
+            if isinstance(st, FiberSpec):
+                bkey = (st.beta_2, st.beta_3)
+                if bkey not in _phi_cache:
+                    name = f"phi_w_{len(_phi_cache)}"
+                    consts[name] = jnp.asarray(ssfm.dispersion_phase(
+                        w, st.beta_2, st.beta_3))
+                    _phi_cache[bkey] = name
+                fiber_consts.append({
+                    "phi_name": _phi_cache[bkey],
+                    "a_km": ssfm.alpha_per_km(st.alpha),
+                    "hs": (None if st.h is None else jnp.asarray(
+                        ssfm.ssfm_step_schedule(st.length, st.h))),
+                    "linear_only": (st.gamma == 0
+                                    or (st.beta_2 == 0 and st.beta_3 == 0)),
+                })
+            else:
+                P_ase = idb(st.NF) * h_planck * params.f0 \
+                    * (idb(st.G) - 1) * fs
+                fiber_consts.append({
+                    "sqrtG": float(idb(st.G) ** 0.5),
+                    "sigma_ase": float(np.sqrt(P_ase / 4)),
+                })
+
+        S_T = (4 * kB * spec.pd_T * fs / 2 * idb(spec.pd_Fn) / spec.pd_R_load
+               if spec.include_thermal else 0.0)
+        consts["H2_pd"] = jnp.asarray(np.asarray(
+            filters.bessel_filtfilt_response(
+                spec.lpf_order, float(spec.pd_BW), fs, n), dtype=np.float32))
+
+        instant = (spec.sampler_instant if spec.sampler_instant is not None
+                   else sps // 2)
+        ac = spec.coupling.upper() == "AC"
+        stages = spec.stages
+
+        # ---- the fused program ----
+        def fwd(bits, seed, consts):
+            # key stream replicating gv(seed=...) + per-device
+            # rng.resolve() consumption order (see module docstring)
+            stream = jax.random.PRNGKey(seed)
+
+            def next_key(stream):
+                stream, sub = jax.random.split(stream)
+                return stream, sub
+
+            # --- DAC: zero-stuff upsample + circular pulse shaping ---
+            xu = pulses.upsample_zero_stuff(bits.astype(jnp.float32), sps)
+            Hp = jax.lax.complex(consts["Hp_re"], consts["Hp_im"])
+            X = jnp.fft.fft(xu) * Hp
+            x = jnp.fft.ifft(X) if pulse_complex else jnp.fft.ifft(X).real
+            x = x * jnp.float32(spec.Vpp) + jnp.float32(spec.offset)
+            if ac:
+                x = x - jnp.mean(x)
+            if pulse_complex:
+                x = x.real  # MZM drive voltage is real
+
+            # --- LASER ---
+            stream, k_laser = next_key(stream)
+            k_ph, k_rin = jax.random.split(k_laser)
+            phase = jnp.zeros((), jnp.float32)
+            if sigma_ph > 0:
+                phase = wiener_phase_inside(k_ph, n, sigma_ph)
+            if has_df:
+                phase = phase + consts["df_phase"]
+            amp = jnp.float32(P0_amp)
+            if sigma_rin > 0:
+                rin_noise = gaussian_inside(k_rin, (n,), sigma_rin)
+                amp = amp * jnp.sqrt(1 + rin_noise)
+            if sigma_ph > 0 or has_df:
+                E = amp * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+            else:
+                E = jnp.broadcast_to(amp, (n,)).astype(jnp.complex64)
+
+            # --- MZM (reference devices.py:762-768) ---
+            g = jnp.float32(g_scale) * (x + jnp.float32(spec.bias))
+            h_t = jnp.float32(loss_amp) * jax.lax.complex(
+                jnp.cos(g), jnp.float32(eta_half) * jnp.sin(g))
+            field = E * h_t  # (n,) complex64
+
+            # --- channel stages ---
+            for st, cc in zip(stages, fiber_consts):
+                if isinstance(st, FiberSpec):
+                    phi_w = consts[cc["phi_name"]]
+                    if cc["linear_only"] and cc["hs"] is None:
+                        hs1 = jnp.asarray([st.length], dtype=jnp.float32)
+                        field = ssfm.ssfm_scan_inside(
+                            field, phi_w, hs1, st.gamma, cc["a_km"])
+                    elif cc["hs"] is not None:
+                        field = ssfm.ssfm_scan_inside(
+                            field, phi_w, cc["hs"], st.gamma, cc["a_km"])
+                    else:
+                        maxP0 = jnp.max(field.real**2 + field.imag**2)
+                        h0 = jnp.minimum(
+                            jnp.float32(st.phi_max)
+                            / (jnp.abs(jnp.float32(st.gamma)) * maxP0),
+                            jnp.float32(st.length))
+                        field, _ = ssfm.ssfm_while_inside(
+                            field, phi_w, st.length, st.gamma,
+                            st.phi_max, h0, cc["a_km"], adaptive=True)
+                else:  # EDFA: gain + physical 2-pol ASE
+                    stream, k_ase = next_key(stream)
+                    d = gaussian_inside(k_ase, (4, n), cc["sigma_ase"])
+                    ase = jax.lax.complex(d[:2], d[2:])  # (2, n)
+                    if field.ndim == 1:
+                        field = jnp.stack(
+                            [field * jnp.float32(cc["sqrtG"]),
+                             jnp.zeros_like(field)])
+                    else:
+                        field = field * jnp.float32(cc["sqrtG"])
+                    field = field + ase
+
+            # --- PD (reference devices.py:1378-1555) ---
+            P = field.real**2 + field.imag**2
+            if field.ndim == 2:
+                P = P.sum(axis=0)
+            i_ph = jnp.float32(spec.pd_r) * P
+
+            stream, k_pd = next_key(stream)
+            k_T, k_N = jax.random.split(k_pd)
+            i = i_ph
+            if spec.include_thermal or spec.include_shot:
+                # reference folds i_dark into the noise track
+                # (devices.py:1521-1546); with noise off it is omitted
+                i = i + jnp.float32(spec.i_dark)
+            if spec.include_thermal:
+                i = i + gaussian_inside(k_T, (n,), S_T**0.5)
+            if spec.include_shot:
+                mean_i = jnp.mean(i_ph)
+                S_N = (2 * jnp.float32(e) * (mean_i + jnp.float32(spec.i_dark))
+                       * jnp.float32(fs / 2))
+                i = i + jnp.sqrt(S_N) * jax.random.normal(k_N, (n,),
+                                                          dtype=jnp.float32)
+
+            # --- electrical LPF (zero-phase |H|^2, ops/filters.py) ---
+            v = jnp.fft.ifft(jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
+                             * consts["H2_pd"]).real
+            out = (v, v[instant::sps])
+            if return_field:
+                out = out + (field.real, field.imag)
+            return out
+
+        self.consts = consts
+        self.fn = fwd
+        self._jitted = jax.jit(fwd)
+
+    def jitted(self, bits, seed):
+        """Compiled program on the prebuilt constants:
+        ``(bits_f32, seed) -> (v_t, v_slots, ...)``."""
+        return self._jitted(bits, seed, self.consts)
+
+    # ---- host conveniences ----
+    def run(self, bits=None, seed: int = 0, prbs_order: int = 9):
+        """Run the fused link.  ``bits``: array/BinarySequence of length
+        ``n_bits`` (default: PRBS of ``prbs_order`` wrapped to length).
+        Returns a namespace with ``tx`` (BinarySequence), ``v``
+        (ElectricalSignal, filtered PD voltage), ``slots`` (per-slot
+        samples), and helpers ``decide(threshold)`` / ``ber()``."""
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=self.n_bits)
+            bits = b
+        tx = BinarySequence(bits)
+        if tx.size != self.n_bits:
+            raise ValueError(f"need {self.n_bits} bits, got {tx.size}")
+        v, slots = self.jitted(
+            jnp.asarray(tx.to_numpy(np.float32)),
+            jnp.uint32(seed))[:2]
+        v_np = np.asarray(v)
+        slots_np = np.asarray(slots)
+
+        ns = SimpleNamespace(tx=tx, v=ElectricalSignal(v_np),
+                             slots=ElectricalSignal(slots_np),
+                             program=self)
+
+        def decide(threshold: float) -> BinarySequence:
+            return BinarySequence((slots_np > threshold).astype(np.uint8))
+
+        def ber(threshold: Optional[float] = None) -> float:
+            if threshold is None:
+                from .devices import GET_EYE
+                from .models.ook import THRESHOLD_EST
+                eye_obj = GET_EYE(ns.v, nslots=min(8192, self.n_bits))
+                threshold = THRESHOLD_EST(eye_obj)
+            rx = decide(threshold)
+            return float(np.mean(rx.data != tx.data))
+
+        ns.decide = decide
+        ns.ber = ber
+        return ns
+
+
+def build_link(spec: LinkSpec, n_bits: int,
+               params: Optional[SimParams] = None,
+               return_field: bool = False) -> LinkProgram:
+    """Compile the full TX->channel->RX chain described by ``spec`` into
+    one XLA program for ``n_bits`` slots at the current (or given)
+    simulation parameters."""
+    params = params if params is not None else gv.params
+    return LinkProgram(spec, n_bits, params, return_field=return_field)

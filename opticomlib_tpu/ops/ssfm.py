@@ -40,7 +40,8 @@ import numpy as np
 
 __all__ = ["linear_operator", "dispersion_phase", "ssfm_propagate",
            "ssfm_step_schedule", "dispersive_step", "ssfm_scan_o4",
-           "ssfm_local_error", "progress_bar"]
+           "ssfm_local_error", "progress_bar", "ssfm_while_inside",
+           "ssfm_scan_inside"]
 
 _LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
 
@@ -165,15 +166,22 @@ def _nl_l_nl_step(A, phi_w, alpha, h, gamma, E=None):
     return A * half_nl
 
 
-@partial(jax.jit, static_argnames=("adaptive", "progress"))
-def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
-               adaptive: bool, progress: bool = False):
-    """while_loop SSFM on planar inputs: returns (re, im, n_steps)."""
-    A = jax.lax.complex(Are, Aim)
+def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
+                      adaptive: bool, progress: bool = False,
+                      reduce_max=None):
+    """Adaptive/fixed while_loop SSFM body — complex in/out, for use
+    *inside* an enclosing jit (the fused link program, shard_map bodies).
+
+    ``reduce_max``: optional collective applied to the local ``max|A|^2``
+    (e.g. ``lambda m: jax.lax.pmax(m, 'time')`` inside shard_map) — the
+    all-reduce(max) the adaptive criterion needs on a sharded waveform.
+    Returns ``(A, n_steps)``.
+    """
     alpha = jnp.float32(alpha)
     length = jnp.float32(length)
     gamma = jnp.float32(gamma)
     phi_max = jnp.float32(phi_max)
+    h0 = jnp.float32(h0)
 
     # Minimum step: float32 z-accumulation stalls when h < ulp(z), so clamp
     # steps to >~ length*2^-23; the bounded overshoot (<1e-7 of the span) is
@@ -191,6 +199,8 @@ def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
         A = _nl_l_nl_step(A, phi_w, alpha, h, gamma)
         if adaptive:
             maxP = jnp.max(A.real * A.real + A.imag * A.imag)
+            if reduce_max is not None:
+                maxP = reduce_max(maxP)
             h_next = phi_max / (jnp.abs(gamma) * maxP)
         else:
             h_next = h0
@@ -200,20 +210,28 @@ def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
             jax.debug.callback(_progress_tick, z, length)
         return (A, z, h_next.astype(jnp.float32), steps + 1)
 
-    h_init = jnp.minimum(jnp.float32(h0), length)
+    h_init = jnp.minimum(h0, length)
     A, z, h, steps = jax.lax.while_loop(
         cond, body, (A, jnp.float32(0.0), h_init, jnp.int32(0)))
+    return A, steps
+
+
+@partial(jax.jit, static_argnames=("adaptive", "progress"))
+def _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0, alpha,
+               adaptive: bool, progress: bool = False):
+    """while_loop SSFM on planar inputs: returns (re, im, n_steps)."""
+    A, steps = ssfm_while_inside(jax.lax.complex(Are, Aim), phi_w, length,
+                                 gamma, phi_max, h0, alpha,
+                                 adaptive=adaptive, progress=progress)
     return A.real, A.imag, steps
 
 
-@partial(jax.jit, static_argnames=("progress",))
-def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha, progress: bool = False):
-    """Fixed-schedule SSFM via lax.scan on planar inputs (known number of
-    steps).  The linear factor for the schedule's leading step size is
-    precomputed once outside the scan; only off-schedule steps (the final
-    remainder, at most one) pay the cos/sin recompute — a ``lax.cond``
-    selects per step."""
-    A = jax.lax.complex(Are, Aim)
+def ssfm_scan_inside(A, phi_w, hs, gamma, alpha, progress: bool = False):
+    """Fixed-schedule SSFM scan body — complex in/out, for use *inside* an
+    enclosing jit.  The linear factor for the schedule's leading step size
+    is precomputed once outside the scan; only off-schedule steps (the
+    final remainder, at most one) pay the cos/sin recompute — a
+    ``lax.cond`` selects per step."""
     alpha = jnp.float32(alpha)
     gamma = jnp.float32(gamma)
     h0 = hs[0]
@@ -231,6 +249,14 @@ def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha, progress: bool = False):
         return (A, z), None
 
     (A, _), _ = jax.lax.scan(step, (A, jnp.float32(0.0)), hs)
+    return A
+
+
+@partial(jax.jit, static_argnames=("progress",))
+def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha, progress: bool = False):
+    """Fixed-schedule SSFM via lax.scan on planar inputs."""
+    A = ssfm_scan_inside(jax.lax.complex(Are, Aim), phi_w, hs, gamma, alpha,
+                         progress=progress)
     return A.real, A.imag
 
 

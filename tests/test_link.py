@@ -1,0 +1,165 @@
+"""Fused end-to-end link program (opticomlib_tpu/link.py).
+
+Checks the single-XLA-program chain against the staged device pipeline
+(reference architecture: examples/ook_transmission_fiber_simulation.py):
+same physics, same keyed noise draws, BER parity.
+"""
+import jax
+import numpy as np
+import pytest
+
+from opticomlib_tpu import gv
+from opticomlib_tpu.devices import DAC, FIBER, LASER, MZM, PD, PRBS
+from opticomlib_tpu.link import EDFASpec, FiberSpec, LinkSpec, build_link
+from opticomlib_tpu.models import ook
+
+SPS, R, NBITS = 16, 10e9, 2**11
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    gv.default()
+    gv(sps=SPS, R=R, N=NBITS, Vpi=5)
+    yield
+    gv.default()
+
+
+def _spec(**kw):
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26, pd_BW=0.75 * R)
+    base.update(kw)
+    return LinkSpec(**base)
+
+
+def _staged(tx, *, lw=None, rin=None, fiber=None, edfa=None,
+            include_noise="none"):
+    """Reference-architecture staged chain with keyed noise via gv(seed=...)."""
+    v = DAC(tx, Vpp=5, offset=-2.5, pulse_shape="gaussian")
+    mod = MZM(LASER(P0=5, lw=lw, rin=rin), v, bias=-2.5, Vpi=5,
+              loss_dB=3, ER_dB=26)
+    x = mod
+    if fiber is not None:
+        x = FIBER(x, **fiber)
+    if edfa is not None:
+        from opticomlib_tpu.devices import EDFA
+        x = EDFA(x, **edfa)
+    return PD(x, BW=0.75 * R, include_noise=include_noise)
+
+
+class TestFusedVsStaged:
+    def test_noiseless_b2b_matches_staged(self):
+        """Back-to-back, no noise: fused == staged away from the circular-
+        convolution edges (f32 vs f64 + span truncation tolerance)."""
+        tx = PRBS(order=9, len=NBITS)
+        spec = _spec(include_thermal=False, include_shot=False)
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(bits=tx, seed=0)
+        ref = _staged(tx)
+
+        a = res.v.to_numpy().real
+        b = ref.to_numpy().real
+        m = 64 * SPS  # skip pulse-span edges
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a[m:-m], b[m:-m], atol=2e-3 * scale)
+
+    def test_noiseless_fiber_matches_staged(self):
+        tx = PRBS(order=9, len=NBITS)
+        fiber = dict(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3)
+        spec = _spec(stages=(FiberSpec(**fiber),),
+                     include_thermal=False, include_shot=False)
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(bits=tx, seed=0)
+        ref = _staged(tx, fiber=fiber)
+
+        a = res.v.to_numpy().real
+        b = ref.to_numpy().real
+        m = 64 * SPS
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a[m:-m], b[m:-m], atol=5e-3 * scale)
+
+    def test_keyed_noise_draws_match_staged(self):
+        """Key-threading parity: fused seed=s draws the same laser/EDFA/PD
+        noise as the staged chain after gv(seed=s)."""
+        tx = PRBS(order=9, len=NBITS)
+        fiber = dict(length=10, alpha=0.2, beta_2=-21.0, gamma=1.3)
+        spec = _spec(lw=1e5, rin=-150,
+                     stages=(FiberSpec(**fiber), EDFASpec(G=10, NF=5)),
+                     include_thermal=True, include_shot=True)
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(bits=tx, seed=123)
+
+        gv(sps=SPS, R=R, N=NBITS, seed=123)
+        ref = _staged(tx, lw=1e5, rin=-150, fiber=fiber,
+                      edfa=dict(G=10, NF=5), include_noise="all")
+
+        a = res.v.to_numpy().real
+        b = ref.to_numpy().real
+        m = 64 * SPS
+        scale = np.abs(b).max()
+        # identical noise realizations -> only f32/convolution error remains
+        np.testing.assert_allclose(a[m:-m], b[m:-m], atol=2e-2 * scale)
+        # and it is genuinely noisy (sanity: noise dominates the tolerance)
+        gv(sps=SPS, R=R, N=NBITS, seed=321)
+        ref_other = _staged(tx, lw=1e5, rin=-150, fiber=fiber,
+                            edfa=dict(G=10, NF=5), include_noise="all")
+        diff_same = np.abs(a[m:-m] - b[m:-m]).max()
+        diff_other = np.abs(a[m:-m] - ref_other.to_numpy().real[m:-m]).max()
+        assert diff_other > 5 * diff_same
+
+    def test_b2b_ber_zero_at_high_snr(self):
+        spec = _spec()
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(seed=7)
+        assert res.ber() < 1e-3
+
+    def test_fiber_edfa_ber(self):
+        spec = _spec(stages=(FiberSpec(length=50, alpha=0.2, beta_2=-21.0,
+                                       gamma=1.3), EDFASpec(G=10, NF=5)))
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(seed=7)
+        assert res.ber() < 1e-2
+
+    def test_dsp_threshold_consistency(self):
+        """The fused output drives the standard host DSP (GET_EYE path)."""
+        spec = _spec()
+        prog = build_link(spec, n_bits=NBITS)
+        res = prog.run(seed=7)
+        rx, eye_obj, rth = ook.DSP(res.v)
+        ber = ook.BER_analizer("counter", Tx=res.tx, Rx=rx)
+        assert ber < 1e-3
+        assert eye_obj.er > 10
+
+
+class TestProgramContract:
+    def test_reproducible(self):
+        prog = build_link(_spec(lw=1e5), n_bits=NBITS)
+        a = prog.run(seed=5)
+        b = prog.run(seed=5)
+        np.testing.assert_array_equal(a.v.to_numpy(), b.v.to_numpy())
+
+    def test_jittable_planar(self):
+        """fn is a pure jittable function of (bits_f32, seed_u32, consts)."""
+        import jax.numpy as jnp
+        prog = build_link(_spec(), n_bits=NBITS)
+        bits = jnp.zeros(NBITS, jnp.float32).at[::2].set(1.0)
+        v, slots = jax.jit(prog.fn)(bits, jnp.uint32(3), prog.consts)[:2]
+        assert v.dtype == jnp.float32
+        assert slots.shape == (NBITS,)
+
+    def test_ac_coupling(self):
+        prog = build_link(_spec(coupling="AC", include_thermal=False,
+                                include_shot=False), n_bits=NBITS)
+        res = prog.run(seed=0)
+        assert res.v.size == NBITS * SPS
+
+    def test_nrz_and_rcos_shapes(self):
+        for shape, kw in (("nrz", ()), ("rcos", (("beta", 0.25),))):
+            prog = build_link(_spec(pulse_shape=shape, pulse_kwargs=kw),
+                              n_bits=2**9)
+            res = prog.run(seed=0)
+            assert res.ber() < 0.05
+
+    def test_bad_bits_length(self):
+        prog = build_link(_spec(), n_bits=NBITS)
+        with pytest.raises(ValueError):
+            prog.run(bits=np.zeros(17, np.uint8))

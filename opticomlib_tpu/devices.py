@@ -399,7 +399,8 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
           beta_2: float = 0.0, beta_3: float = 0.0, gamma: float = 0.0,
           phi_max: float = 0.01, h: Optional[float] = None,
           show_progress: bool = False, return_steps: bool = False,
-          method: str = "reference", tol: float = 1e-5):
+          method: str = "reference", tol: float = 1e-5,
+          mesh=None, shard_method: str = "pencil"):
     """Optical fiber: split-step Fourier NLSE with adaptive step bounded by
     the max nonlinear phase rotation (Sinkin 2003), or fixed step ``h``.
 
@@ -420,6 +421,14 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
       (requires ``h``); ~50x lower splitting error at equal ``h``.
     * ``"local_error"`` — Sinkin local-error adaptive stepping with
       Richardson extrapolation; target relative local error ``tol``.
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` with a ``'time'`` axis
+    (and optionally ``'wdm'``) — the waveform's sample axis is sharded
+    across the mesh and propagated by the multi-device solver
+    (:func:`opticomlib_tpu.parallel.fiber.ssfm_sharded`), adaptive
+    (``h=None``, per-step all-reduce(max)) or fixed-step.
+    ``shard_method`` selects ``'pencil'`` (exact distributed FFT) or
+    ``'overlap'`` (halo exchange).
     """
     tic()
     if not isinstance(input, OpticalSignal):
@@ -427,6 +436,26 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
     if method not in ("reference", "o4", "local_error"):
         raise ValueError(
             "`method` must be 'reference', 'o4' or 'local_error'.")
+
+    if mesh is not None:
+        if return_steps or method != "reference":
+            raise ValueError(
+                "mesh= supports only method='reference' without "
+                "return_steps")
+        from .parallel.fiber import shard_waveform, ssfm_sharded
+
+        A = input.to_numpy().astype(np.complex64)
+        wdm_axis = ("wdm" if "wdm" in mesh.shape and A.ndim == 2
+                    and np.shape(A)[0] % mesh.shape["wdm"] == 0 else None)
+        out = ssfm_sharded(
+            shard_waveform(A, mesh, wdm_axis), mesh, fs=gv.fs,
+            length=float(length),
+            alpha=float(alpha), beta_2=float(beta_2), beta_3=float(beta_3),
+            gamma=float(gamma), h=None if h is None else float(h),
+            phi_max=float(phi_max), method=shard_method, wdm_axis=wdm_axis)
+        output = OpticalSignal(np.asarray(out), n_pol=input.n_pol)
+        output.execution_time = toc()
+        return output
 
     A = input.to_numpy().astype(np.complex64)
     w = input.w()

@@ -168,13 +168,22 @@ def _nl_l_nl_step(A, phi_w, alpha, h, gamma, E=None):
 
 def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
                       adaptive: bool, progress: bool = False,
-                      reduce_max=None):
+                      reduce_max=None, linear_step=None, h_max=None):
     """Adaptive/fixed while_loop SSFM body — complex in/out, for use
     *inside* an enclosing jit (the fused link program, shard_map bodies).
 
     ``reduce_max``: optional collective applied to the local ``max|A|^2``
     (e.g. ``lambda m: jax.lax.pmax(m, 'time')`` inside shard_map) — the
     all-reduce(max) the adaptive criterion needs on a sharded waveform.
+
+    ``linear_step``: optional ``(A, h) -> A`` override for the linear
+    substep — the sharded solvers plug in the pencil-FFT or overlap-save
+    halo transform here (``phi_w`` may then be None).  The default is the
+    single-FFT step ``ifft(fft(A) * exp((iφ(ω)-α/2)h))``.
+
+    ``h_max``: optional hard cap on the adaptive step (the overlap-save
+    solver caps h at the size its halo width was derived for).
+
     Returns ``(A, n_steps)``.
     """
     alpha = jnp.float32(alpha)
@@ -196,7 +205,13 @@ def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
     def body(carry):
         A, z, h, steps = carry
         z = z + h
-        A = _nl_l_nl_step(A, phi_w, alpha, h, gamma)
+        if linear_step is None:
+            A = _nl_l_nl_step(A, phi_w, alpha, h, gamma)
+        else:
+            # same frozen-operator symmetric step, custom linear transform
+            phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+            half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+            A = linear_step(A * half_nl, h) * half_nl
         if adaptive:
             maxP = jnp.max(A.real * A.real + A.imag * A.imag)
             if reduce_max is not None:
@@ -204,6 +219,8 @@ def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
             h_next = phi_max / (jnp.abs(gamma) * maxP)
         else:
             h_next = h0
+        if h_max is not None:
+            h_next = jnp.minimum(h_next, jnp.float32(h_max))
         h_next = jnp.minimum(h_next, length - z)
         h_next = jnp.maximum(h_next, h_floor)
         if progress:
@@ -211,6 +228,8 @@ def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
         return (A, z, h_next.astype(jnp.float32), steps + 1)
 
     h_init = jnp.minimum(h0, length)
+    if h_max is not None:
+        h_init = jnp.minimum(h_init, jnp.float32(h_max))
     A, z, h, steps = jax.lax.while_loop(
         cond, body, (A, jnp.float32(0.0), h_init, jnp.int32(0)))
     return A, steps

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
-                        ssfm_step_schedule)
+                        ssfm_step_schedule, ssfm_while_inside)
 from .dfft import pencil_fft, pencil_ifft, strided_w_grid
 from .halo import exchange_halos, halo_width
 
@@ -55,13 +55,14 @@ def make_link_mesh(n_wdm: int = 1, n_time: Optional[int] = None,
     return Mesh(dev_array, axis_names=("wdm", "time"))
 
 
-def shard_waveform(A: np.ndarray, mesh: Mesh):
+def shard_waveform(A: np.ndarray, mesh: Mesh, wdm_axis: Optional[str] = "wdm"):
     """Place a (channels, nsamples) or (nsamples,) array on the mesh with
-    channels over 'wdm' and samples over 'time'."""
+    channels over ``wdm_axis`` (None -> replicated leading axis) and
+    samples over 'time'."""
     if A.ndim == 1:
         spec = P("time")
     else:
-        spec = P("wdm", "time")
+        spec = P(wdm_axis, "time")
     return jax.device_put(A, NamedSharding(mesh, spec))
 
 
@@ -143,18 +144,24 @@ def ssfm_sharded(
     beta_2: float = 0.0,
     beta_3: float = 0.0,
     gamma: float = 0.0,
-    h: float = 1.0,
+    h: Optional[float] = 1.0,
+    phi_max: float = 0.01,
     method: str = "pencil",
     halo_safety: float = 4.0,
     time_axis: str = "time",
     wdm_axis: Optional[str] = "wdm",
 ):
-    """Propagate a sharded waveform through ``length`` km of fiber with a
-    fixed step ``h`` [km].
+    """Propagate a sharded waveform through ``length`` km of fiber.
 
     ``A``: (nsamples,) or (channels, nsamples) complex array (host or
     already device_put with the matching sharding).  Returns a sharded
     jax.Array with the same shape.
+
+    ``h``: fixed step [km], or ``None`` for **phi_max-adaptive stepping**
+    (the reference criterion, devices.py:1156/1193-1196): the per-step
+    ``max|A|^2`` becomes an all-reduce(max) over every mesh axis
+    (``jax.lax.pmax``), so all shards advance with one global step size —
+    exactly matching the single-device adaptive result.
 
     ``method``:
       * ``"pencil"`` (default) — exact distributed FFT per linear step
@@ -171,7 +178,32 @@ def ssfm_sharded(
         raise ValueError(f"nsamples {n} not divisible by time shards {n_time}")
     block = n // n_time
 
-    hs = ssfm_step_schedule(length, h)
+    adaptive = h is None
+    if adaptive and gamma == 0:
+        # linear-only: single step over the whole span (reference h0=length)
+        h, adaptive = length, False
+    if adaptive:
+        # worst-case adaptive step (for the overlap halo width and h cap):
+        # maxP(z) >= maxP0 * e^(-alpha*L), so h(z) <= h0 * e^(+alpha*L)
+        maxP0_host = float(jnp.max(A.real**2 + A.imag**2))
+        h0_host = min(phi_max / (abs(gamma) * maxP0_host), length)
+        h_cap = min(length,
+                    h0_host * math.exp(alpha_per_km(alpha) * length))
+        h_for_halo = h_cap
+    else:
+        h_for_halo = h
+    hs = ssfm_step_schedule(length, h if not adaptive else length)
+
+    # collectives: the adaptive max reduction must see every shard of the
+    # waveform — both time blocks and (independent-channel parity with the
+    # single-device reference, which maxes over the whole array) channels
+    axes = ((time_axis,) if A.ndim == 1 or wdm_axis is None
+            else (wdm_axis, time_axis))
+
+    def reduce_max(m):
+        for ax in axes:
+            m = jax.lax.pmax(m, ax)
+        return m
 
     if method == "pencil":
         if block % n_time:
@@ -180,9 +212,36 @@ def ssfm_sharded(
                 f"({n_time}) — i.e. nsamples divisible by n_time^2")
         propagate = _pencil_propagate_fn(n_time, block, fs, alpha, beta_2,
                                          beta_3, gamma, time_axis)
+        if adaptive:
+            alpha_lin = alpha_per_km(alpha)
+
+            def propagate(x, _hs):  # noqa: F811 - adaptive variant
+                q = jax.lax.axis_index(time_axis)
+                w = strided_w_grid(q, n_time, block, fs) * 1e-12
+                phi_q = (beta_2 / 2 * w**2
+                         + beta_3 / 6 * w**3).astype(jnp.float32)
+
+                def linear_step(a, hh):
+                    E = _lin_factor(phi_q, jnp.float32(alpha_lin), hh)
+                    return pencil_ifft(pencil_fft(a, time_axis) * E,
+                                       time_axis)
+
+                maxP0 = reduce_max(jnp.max(x.real**2 + x.imag**2))
+                h0 = jnp.minimum(
+                    jnp.float32(phi_max) / (jnp.abs(jnp.float32(gamma))
+                                            * maxP0), jnp.float32(length))
+                y, _ = ssfm_while_inside(
+                    x, None, length, gamma, phi_max, h0, alpha_lin,
+                    adaptive=True, reduce_max=reduce_max,
+                    linear_step=linear_step)
+                return y
     elif method == "overlap":
-        H = halo_width(float(hs.max()), beta_2, beta_3, fs,
-                       safety=halo_safety)
+        # adaptive mode: truncation error feeds back through the step
+        # controller (h depends on max|A|^2, which halo error perturbs),
+        # so pad the halo harder than the fixed-step case
+        eff_safety = halo_safety * (4.0 if adaptive else 1.0)
+        H = halo_width(float(min(h_for_halo, length)), beta_2, beta_3, fs,
+                       safety=eff_safety)
         if 2 * H >= block:
             raise ValueError(
                 f"halo {H} too large for block {block}; increase samples per "
@@ -190,8 +249,28 @@ def ssfm_sharded(
         # dispersion phase on the padded-block grid
         w_pad = 2 * np.pi * np.fft.fftfreq(block + 2 * H) * fs
         phi_pad = jnp.asarray(dispersion_phase(w_pad, beta_2, beta_3))
-        propagate = _overlap_propagate_fn(phi_pad, alpha_per_km(alpha), H,
-                                          gamma, time_axis)
+        if adaptive:
+            alpha_lin = alpha_per_km(alpha)
+
+            def propagate(x, _hs):
+                def linear_step(a, hh):
+                    E = _lin_factor(phi_pad, jnp.float32(alpha_lin), hh)
+                    ap = exchange_halos(a, H, time_axis)
+                    ap = jnp.fft.ifft(jnp.fft.fft(ap, axis=-1) * E, axis=-1)
+                    return ap[..., H:-H]
+
+                maxP0 = reduce_max(jnp.max(x.real**2 + x.imag**2))
+                h0 = jnp.minimum(
+                    jnp.float32(phi_max) / (jnp.abs(jnp.float32(gamma))
+                                            * maxP0), jnp.float32(length))
+                y, _ = ssfm_while_inside(
+                    x, None, length, gamma, phi_max, h0, alpha_lin,
+                    adaptive=True, reduce_max=reduce_max,
+                    linear_step=linear_step, h_max=h_cap)
+                return y
+        else:
+            propagate = _overlap_propagate_fn(phi_pad, alpha_per_km(alpha),
+                                              H, gamma, time_axis)
     else:
         raise ValueError("method must be 'pencil' or 'overlap'")
 

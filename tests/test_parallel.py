@@ -191,3 +191,97 @@ def test_span_pipeline_single_span(devices):
         ssfm.ssfm_propagate(A[b], w, 2.0, alpha=0.2, beta_2=-21.0,
                             gamma=1.3, h=0.5) * g for b in range(B)])
     np.testing.assert_allclose(out, expect, atol=5e-4 * np.max(np.abs(expect)))
+
+
+# ---------------------------------------------------------------------------
+# adaptive sharded stepping (round 2: VERDICT item 3 / SURVEY §2.6 —
+# phi_max criterion with per-step all-reduce(max) over the mesh)
+# ---------------------------------------------------------------------------
+def _bandlimited(n, seed, amp):
+    from scipy.ndimage import gaussian_filter1d
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, n // 16).astype(float)
+    return gaussian_filter1d(np.repeat(bits, 16), 4).astype(np.complex64) * amp
+
+
+def test_adaptive_sharded_pencil_matches_single(devices):
+    n = 2**14
+    fs = 160e9
+    A = _bandlimited(n, 3, 0.3)
+    kw = dict(length=20, alpha=0.2, beta_2=-20, gamma=1.3, phi_max=0.05)
+
+    single = np.asarray(ssfm.ssfm_propagate(A, _wgrid(n, fs), **kw))
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, h=None, **kw))
+
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-4)
+
+
+def test_adaptive_sharded_overlap_matches_single(devices):
+    n = 2**15  # larger blocks: the adaptive overlap halo grows with e^{aL}
+    fs = 160e9
+    A = _bandlimited(n, 4, 0.3)
+    kw = dict(length=10, alpha=0.2, beta_2=-20, gamma=1.3, phi_max=0.05)
+
+    single = np.asarray(ssfm.ssfm_propagate(A, _wgrid(n, fs), **kw))
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, h=None,
+                                      method="overlap", **kw))
+
+    # looser than pencil: halo truncation feeds back through the adaptive
+    # step controller (the pencil path is exact, see test above)
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-3)
+
+
+def test_adaptive_sharded_wdm_channels(devices):
+    """Adaptive stepping on a (channels, samples) batch: the all-reduce
+    spans both mesh axes, matching the single-device global max."""
+    n = 2**13
+    fs = 160e9
+    A = np.stack([_bandlimited(n, 5, 0.2), _bandlimited(n, 6, 0.35)])
+
+    kw = dict(length=10, alpha=0.2, beta_2=-20, gamma=1.3, phi_max=0.05)
+    single = np.asarray(ssfm.ssfm_propagate(A, _wgrid(n, fs), **kw))
+
+    mesh = make_link_mesh(n_wdm=2, n_time=4)
+    sharded = np.asarray(ssfm_sharded(A, mesh, fs=fs, h=None, **kw))
+
+    scale = np.max(np.abs(single))
+    np.testing.assert_allclose(sharded / scale, single / scale, atol=5e-4)
+
+
+def test_fiber_mesh_drop_in(devices):
+    """FIBER(mesh=...) == FIBER single-device (adaptive, drop-in API)."""
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import FIBER
+    from opticomlib_tpu.signals import OpticalSignal
+
+    gv.default()
+    gv(sps=16, R=10e9, N=2**10)
+    n = gv.N * gv.sps
+    x = OpticalSignal(_bandlimited(n, 7, 0.3))
+
+    kw = dict(length=20, alpha=0.2, beta_2=-20.0, gamma=1.3, phi_max=0.05)
+    single = FIBER(x, **kw)
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    sharded = FIBER(x, mesh=mesh, **kw)
+
+    a, b = sharded.to_numpy(), single.to_numpy()
+    scale = np.max(np.abs(b))
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+    gv.default()
+
+
+def test_fiber_mesh_rejects_return_steps(devices):
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import FIBER
+    from opticomlib_tpu.signals import OpticalSignal
+
+    gv.default()
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    x = OpticalSignal(np.ones(2048, complex) * 0.1)
+    with pytest.raises(ValueError):
+        FIBER(x, 10, beta_2=-20, gamma=1.0, mesh=mesh, return_steps=True)
+    gv.default()

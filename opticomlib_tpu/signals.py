@@ -189,6 +189,60 @@ class BinarySequence:
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self.data, dtype=dtype)
 
+    # -- NumPy protocol integration (reference typing.py:518-692) --
+    def __getattr__(self, name):
+        # delegate array-like attribute access to the underlying ndarray
+        # (reference typing.py:543-560): seq.max(), seq.cumsum(), ...
+        if not name.startswith("_") and hasattr(np.ndarray, name):
+            return getattr(np.asarray(
+                object.__getattribute__(self, "data")), name)
+        raise AttributeError(
+            f"'{type(self).__name__}' object has no attribute '{name}'")
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """np.add/np.multiply keep sequence semantics (concatenate/tile);
+        other ufuncs apply to the bits and re-wrap binary results
+        (reference typing.py:600-645)."""
+        if method == "__call__" and not kwargs.get("out"):
+            if ufunc is np.add:
+                lhs, rhs = inputs
+                if isinstance(rhs, BinarySequence):
+                    return rhs.__radd__(lhs)
+            if ufunc is np.multiply:
+                lhs, rhs = inputs
+                if isinstance(rhs, BinarySequence):
+                    return rhs.__mul__(lhs)
+        new_inputs = [inp.__array__() if isinstance(inp, BinarySequence)
+                      else inp for inp in inputs]
+        result = getattr(ufunc, method)(*new_inputs, **kwargs)
+        if isinstance(result, np.ndarray):
+            try:
+                return BinarySequence(result)
+            except (ValueError, TypeError):
+                pass
+        return result
+
+    def __array_function__(self, func, types, args, kwargs):
+        """Higher-level NumPy functions (np.concatenate, np.roll, ...)
+        apply to the bits and re-wrap binary results
+        (reference typing.py:647-692)."""
+        def _convert(obj):
+            if isinstance(obj, BinarySequence):
+                return obj.__array__()
+            if isinstance(obj, (list, tuple)):
+                return type(obj)(_convert(i) for i in obj)
+            if isinstance(obj, dict):
+                return {k: _convert(v) for k, v in obj.items()}
+            return obj
+
+        result = func(*_convert(args), **_convert(kwargs))
+        if isinstance(result, np.ndarray):
+            try:
+                return BinarySequence(result)
+            except (ValueError, TypeError):
+                pass
+        return result
+
     def to_numpy(self, dtype=None):
         return np.asarray(self.data, dtype=dtype)
 
@@ -397,6 +451,64 @@ class ElectricalSignal:
 
     def __array__(self, dtype=None, copy=None):
         return self.to_numpy(dtype)
+
+    # -- NumPy protocol integration (reference typing.py:1224-1306) --
+    def _wrap_array_result(self, result):
+        """Re-wrap an ndarray result in the signal class when the shape is
+        compatible (reference typing.py:1268-1275): 1-D for
+        electrical_signal, 1-D/2-D for optical_signal."""
+        if isinstance(result, np.ndarray):
+            if type(self) is ElectricalSignal and result.ndim == 1:
+                return ElectricalSignal(result)
+            if isinstance(self, OpticalSignal) and result.ndim in (1, 2):
+                return type(self)(result)
+        return result
+
+    def __getattr__(self, name):
+        # ndarray attribute delegation (reference typing.py:1231-1238):
+        # sig.var(), sig.max(), sig.cumsum(), sig.T ... act on signal+noise
+        if not name.startswith("_") and hasattr(np.ndarray, name):
+            return getattr(self.to_numpy(), name)
+        raise AttributeError(
+            f"'{type(self).__name__}' object has no attribute '{name}'")
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """np.add/np.subtract/np.multiply keep the signal/noise bilinear
+        algebra; other ufuncs act on ``signal + noise`` and re-wrap
+        shape-compatible results (reference typing.py:1241-1276)."""
+        if method == "__call__" and not kwargs.get("out"):
+            if ufunc is np.add:
+                lhs, rhs = inputs
+                if isinstance(rhs, ElectricalSignal):
+                    return rhs.__add__(lhs)
+            if ufunc is np.subtract:
+                lhs, rhs = inputs
+                if isinstance(rhs, ElectricalSignal):
+                    return (-rhs).__add__(lhs)
+            if ufunc is np.multiply:
+                lhs, rhs = inputs
+                if isinstance(rhs, ElectricalSignal):
+                    return rhs.__mul__(lhs)
+        new_inputs = [inp.__array__() if isinstance(inp, ElectricalSignal)
+                      else inp for inp in inputs]
+        return self._wrap_array_result(
+            getattr(ufunc, method)(*new_inputs, **kwargs))
+
+    def __array_function__(self, func, types, args, kwargs):
+        """Higher-level NumPy functions (np.concatenate, np.convolve,
+        np.fft.fft, ...) act on ``signal + noise`` and re-wrap
+        shape-compatible results (reference typing.py:1278-1306)."""
+        def _convert(obj):
+            if isinstance(obj, ElectricalSignal):
+                return obj.__array__()
+            if isinstance(obj, (list, tuple)):
+                return type(obj)(_convert(i) for i in obj)
+            if isinstance(obj, dict):
+                return {k: _convert(v) for k, v in obj.items()}
+            return obj
+
+        return self._wrap_array_result(
+            func(*_convert(args), **_convert(kwargs)))
 
     # -- parsing helper --
     def _parse(self, other):

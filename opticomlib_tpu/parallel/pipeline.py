@@ -9,12 +9,30 @@ sweeps) streams through as microbatches:
   tick t:  device d propagates microbatch ``m = t - d`` through its span,
            then ``ppermute``s the field to device ``d+1`` over ICI.
 
-After ``B + S - 1`` ticks every microbatch has traversed every span; steady-
-state utilization is ``B / (B + S - 1)``.  Each microbatch lives wholly on
-one device at a time (no intra-span sharding), so the span step is the
-plain single-device fixed-step SSFM scan — pipeline parallelism composes
-orthogonally with the 'time'-sharded solver in
-:mod:`opticomlib_tpu.parallel.fiber`.
+After ``B + S - 1`` ticks every microbatch has traversed every span;
+steady-state utilization is ``B / (B + S - 1)``.
+
+**Memory is O(B/S · n) per device** (round 2; the round-1 version
+replicated the full (B, n) batch on every device).  The batch is sharded
+over the 'span' axis — device ``d`` owns microbatches ``[d·C, (d+1)·C)``
+with ``C = B/S`` — and two distributed ring buffers stream it:
+
+* the **feed ring** rotates one microbatch toward device 0 per tick, so
+  stage 0's fresh input (microbatch ``t`` at tick ``t``) is always at its
+  local front slot.  Only one (n,)-sized ``ppermute`` per tick crosses a
+  device boundary; the C-slot local buffer is addressed circularly
+  (physical slot ``t mod C``), so nothing is locally copied either.
+* the **output ring** rotates identically; the last stage writes finished
+  microbatch ``m`` into the (constant-virtual-position) slot chosen such
+  that after the remaining rotations every output lands exactly at its
+  owner — device ``m // C``, slot ``m mod C`` — with no gather/psum.
+  A cheap drain phase (rotations only, no span compute) finishes the
+  placement after the last output is produced.
+
+Each active microbatch lives wholly on one device at a time (no
+intra-span sharding), so the span step is the plain single-device
+fixed-step SSFM scan — pipeline parallelism composes orthogonally with
+the 'time'-sharded solver in :mod:`opticomlib_tpu.parallel.fiber`.
 """
 from __future__ import annotations
 
@@ -24,7 +42,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
@@ -61,7 +79,8 @@ def span_pipeline(
     Parameters
     ----------
     A_batch : (B, n) complex array
-        Microbatches.  ``B >= S`` keeps the pipeline usefully full.
+        Microbatches; ``B`` must be a multiple of ``S`` (each device owns
+        ``B/S`` of them — no replication).
     gain_db : float, optional
         Per-span EDFA field gain in dB; defaults to ``alpha * span_length``
         (transparent link).  Noise-free gain — add ASE separately with
@@ -69,13 +88,19 @@ def span_pipeline(
 
     Returns
     -------
-    (B, n) complex jax.Array (replicated) — every microbatch after all S
+    (B, n) complex jax.Array sharded over ``span_axis`` (device ``d``
+    holds rows ``[d·B/S, (d+1)·B/S)``) — every microbatch after all S
     spans, identical to applying the spans sequentially on one device
     (tested to float32 round-off in tests/test_parallel.py).
     """
     A_batch = jnp.asarray(A_batch, dtype=jnp.complex64)
     B, n = A_batch.shape
     S = mesh.shape[span_axis]
+    if B % S:
+        raise ValueError(
+            f"batch size {B} must be a multiple of the span count {S} "
+            "(each device owns B/S microbatches)")
+    C = B // S
     if gain_db is None:
         gain_db = alpha * span_length
     g_field = jnp.float32(10.0 ** (gain_db / 20.0))
@@ -88,8 +113,7 @@ def span_pipeline(
 
     def span_step(x):
         """One full span: fixed-step SSFM scan + flat gain (frozen-operator
-        symmetric step, reference devices.py:1172-1196).  The leading-step
-        linear factor is computed outside the scan (loop-invariant)."""
+        symmetric step, reference devices.py:1172-1196)."""
         h0 = hs[0]
         E0 = _lin_factor(phi_w, a_km, h0)
 
@@ -105,44 +129,72 @@ def span_pipeline(
         x, _ = jax.lax.scan(step, x, hs)
         return x * g_field
 
-    n_ticks = B + S - 1
-    perm = [(i, i + 1) for i in range(S - 1)]
+    # ---- schedule bookkeeping (see module docstring) ----
+    T1 = B + S - 1                      # compute ticks (last write at T1-1)
+    # outputs written (before the tick's rotation) at tick t rotate
+    # (T2 - t) positions; landing at virtual position m for every m
+    # requires the constant write position w = (T2 - S + 1) mod B to lie
+    # in device S-1's virtual range [(S-1)C, B)
+    T2 = T1
+    while ((T2 - S + 1) % B) < (S - 1) * C:
+        T2 += 1
+    j0 = ((T2 - S + 1) % B) - (S - 1) * C   # write slot offset, in [0, C)
+    n_drain = T2 - T1                        # rotation-only ticks
+
+    ring_left = [(i, (i - 1) % S) for i in range(S)]
+    chain_right = [(i, i + 1) for i in range(S - 1)]
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(None, None),),
-             out_specs=P(None, None), check_vma=False)
-    def run(batch):
+    @partial(shard_map, mesh=mesh, in_specs=(P(span_axis, None),),
+             out_specs=P(span_axis, None), check_vma=False)
+    def run(feed0):
         d = jax.lax.axis_index(span_axis)
         is_first = d == 0
         is_last = d == S - 1
 
+        def rotate(buf, slot):
+            """Send physical ``slot`` (the ring front) to the left
+            neighbor; the just-vacated slot becomes the back, filled by
+            the right neighbor's front."""
+            front = jax.lax.dynamic_slice(buf, (slot, 0), (1, n))[0]
+            recv = jax.lax.ppermute(front, span_axis, ring_left)
+            return jax.lax.dynamic_update_slice(buf, recv[None], (slot, 0))
+
         def tick(t, carry):
-            recv, out = carry
-            m = t - d                      # microbatch this device works on
+            feed, out, pipe = carry
+            fslot = jnp.mod(t, C)
+            front = jax.lax.dynamic_slice(feed, (fslot, 0), (1, n))[0]
+            x_in = jnp.where(is_first, front, pipe)
+
+            m = t - d
             active = jnp.logical_and(m >= 0, m < B)
-            fresh = jax.lax.dynamic_slice(
-                batch, (jnp.clip(t, 0, B - 1), 0), (1, n))[0]
-            x_in = jnp.where(is_first, fresh, recv)
             y = span_step(x_in)
             y = jnp.where(active, y, jnp.zeros_like(y))
-            # the last span deposits finished microbatches
-            take = jnp.logical_and(active, is_last)
+
+            # deposit finished microbatch into the output ring (write
+            # happens before this tick's rotation)
+            oslot = jnp.mod(j0 + t, C)
+            write = jnp.logical_and(active, is_last)
+            cur = jax.lax.dynamic_slice(out, (oslot, 0), (1, n))[0]
             out = jax.lax.dynamic_update_slice(
-                out,
-                jnp.where(take,
-                          y,
-                          jax.lax.dynamic_slice(
-                              out, (jnp.clip(m, 0, B - 1), 0), (1, n))[0]
-                          )[None],
-                (jnp.clip(m, 0, B - 1), 0))
-            send = jax.lax.ppermute(y, span_axis, perm)
-            return send, out
+                out, jnp.where(write, y, cur)[None], (oslot, 0))
 
-        recv0 = jnp.zeros((n,), jnp.complex64)
-        out0 = jnp.zeros((B, n), jnp.complex64)
-        _, out = jax.lax.fori_loop(0, n_ticks, tick, (recv0, out0))
-        # only the last device holds real outputs; replicate via masked psum
-        out = jnp.where(is_last, out, jnp.zeros_like(out))
-        return jax.lax.psum(out, span_axis)
+            feed = rotate(feed, fslot)
+            out = rotate(out, jnp.mod(t, C))
+            pipe = jax.lax.ppermute(y, span_axis, chain_right)
+            return feed, out, pipe
 
+        def drain(t, out):
+            return rotate(out, jnp.mod(t, C))
+
+        out0 = jnp.zeros((C, n), jnp.complex64)
+        pipe0 = jnp.zeros((n,), jnp.complex64)
+        feed, out, _ = jax.lax.fori_loop(0, T1, tick, (feed0, out0, pipe0))
+        out = jax.lax.fori_loop(T1, T2, drain, out)
+        # physical slot p holds virtual position (p - T2) mod C after the
+        # final rotation — undo the circular offset locally
+        return jnp.roll(out, -(T2 % C), axis=0)
+
+    A_batch = jax.device_put(A_batch,
+                             NamedSharding(mesh, P(span_axis, None)))
     return run(A_batch)

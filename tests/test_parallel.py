@@ -150,7 +150,7 @@ def test_span_pipeline_matches_sequential(devices):
     """4-span pipeline over 4 devices == sequential span application."""
     from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
 
-    S, B, n, fs = 4, 6, 1024, 160e9
+    S, B, n, fs = 4, 8, 1024, 160e9
     rng = np.random.default_rng(3)
     A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
          ).astype(np.complex64) * 0.1
@@ -172,6 +172,45 @@ def test_span_pipeline_matches_sequential(devices):
 
     scale = np.max(np.abs(expect))
     np.testing.assert_allclose(out, expect, atol=5e-4 * scale)
+
+
+def test_span_pipeline_sharded_output_no_replication(devices):
+    """Round 2 (VERDICT item 9): the batch is sharded over 'span' —
+    memory per device is O(B/S * n), and the result comes back sharded
+    (device d owns rows [d*B/S, (d+1)*B/S)), not replicated."""
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+
+    S, B, n, fs = 8, 16, 512, 160e9
+    rng = np.random.default_rng(7)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+    mesh = make_span_mesh(S, devices=devices[:S])
+    out = span_pipeline(A, mesh, fs, 2.0, alpha=0.2, beta_2=-21.0,
+                        gamma=1.3, h=1.0)
+    # sharded, one (B/S, n) shard per device
+    assert len(out.sharding.device_set) == S
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(B // S, n)}
+
+    # values still match the sequential oracle
+    w = _wgrid(n, fs)
+    g = 10.0 ** (0.2 * 2.0 / 20.0)
+    expect = A.copy()
+    for _ in range(S):
+        expect = np.stack([
+            ssfm.ssfm_propagate(expect[b], w, 2.0, alpha=0.2, beta_2=-21.0,
+                                gamma=1.3, h=1.0) * g for b in range(B)])
+    np.testing.assert_allclose(np.asarray(out), expect,
+                               atol=1e-3 * np.max(np.abs(expect)))
+
+
+def test_span_pipeline_rejects_indivisible_batch(devices):
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+
+    mesh = make_span_mesh(4, devices=devices[:4])
+    A = np.zeros((6, 256), np.complex64)
+    with pytest.raises(ValueError):
+        span_pipeline(A, mesh, 80e9, 1.0, h=0.5)
 
 
 def test_span_pipeline_single_span(devices):

@@ -8,7 +8,6 @@ density histogram itself is a vectorized 2-D histogram + Gaussian smoothing.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -18,14 +17,30 @@ from .utils.analysis import si
 __all__ = ["eye", "Eye", "EyeShowOptions", "eyediagram"]
 
 
-@dataclass
 class EyeShowOptions:
-    """Flag bundle for eye plot annotations (reference typing.py:2440-2456)."""
-    means: bool = True
-    crossings: bool = True
-    t_opt: bool = True
-    threshold: bool = True
-    legend: bool = True
+    """Flag bundle for eye plot annotations (reference typing.py:2440-2456).
+
+    Each option defaults to ``all_none`` (so ``EyeShowOptions()`` shows a
+    bare eye and ``EyeShowOptions(all_none=True)`` turns everything on) —
+    field-for-field parity with the reference, including the quirk that
+    the reference's plot docstring claims "default show all" while its
+    code defaults everything off.
+    """
+
+    def __init__(self, averages: Optional[bool] = None,
+                 threshold: Optional[bool] = None,
+                 cross_points: Optional[bool] = None,
+                 legends: Optional[bool] = None,
+                 t_opt: Optional[bool] = None,
+                 histogram: Optional[bool] = None,
+                 all_none: bool = False):
+        self.averages = averages if averages is not None else all_none
+        self.threshold = threshold if threshold is not None else all_none
+        self.cross_points = (cross_points if cross_points is not None
+                             else all_none)
+        self.legends = legends if legends is not None else all_none
+        self.t_opt = t_opt if t_opt is not None else all_none
+        self.histogram = histogram if histogram is not None else all_none
 
 
 class Eye:
@@ -74,33 +89,185 @@ class Eye:
         print(self)
         return self
 
-    def plot(self, medias_=None, legend_=None, show_=None, save_=None,
-             style: str = "dark", cmap: str = "inferno", title: str = "",
-             options: Optional[EyeShowOptions] = None,
-             **kwargs):  # pragma: no cover - host plotting
+    @property
+    def empty(self) -> bool:
+        """True when the object carries no trace data."""
+        return self.__dict__.get("y") is None
+
+    def plot(self, show_options: Optional[EyeShowOptions] = None,
+             hlines: Optional[list] = None, vlines: Optional[list] = None,
+             style: str = "dark", cmap: str = "winter", smooth: bool = True,
+             title: str = "", savefig: Optional[str] = None,
+             ax=None):  # pragma: no cover - host plotting
+        """Annotated eye-diagram plot (reference typing.py:2577-2798).
+
+        Same knobs as the reference: ``show_options`` annotation flags
+        (t_opt span lines, crossing points, threshold, level means,
+        side histogram, legends), user ``hlines``/``vlines``, dark/light
+        ``style``, smoothed-density or per-trace rendering (``smooth``),
+        ``savefig`` path (``.png`` at 300 dpi), external ``ax``.
+        """
         import matplotlib.pyplot as plt
+        from contextlib import nullcontext
+        from scipy.ndimage import gaussian_filter
+        from scipy.special import expit
 
-        options = options or EyeShowOptions()
-        t = np.asarray(self.t)
-        y = np.asarray(self.y)
+        show_options = show_options or EyeShowOptions()
+        hlines = hlines or []
+        vlines = vlines or []
+        if self.empty:
+            raise ValueError("Empty eye diagram object.")
 
-        fig, ax = plt.subplots(figsize=(8, 5))
-        eyediagram_density(t, y, ax=ax, cmap=cmap)
+        if style == "dark":
+            style_context = "dark_background"
+            t_opt_color, means_color = "#60FF86", "white"
+        elif style == "light":
+            style_context = "default"
+            t_opt_color, means_color = "green", "#5A5A5A"
+        else:
+            raise TypeError(
+                "The `style` argument must be one of the following values "
+                "('dark', 'light')")
 
-        if options.means and self.mu0 is not None:
-            ax.axhline(self.mu1, color="w", ls=":", lw=1, label=r"$\mu_1$")
-            ax.axhline(self.mu0, color="w", ls=":", lw=1, label=r"$\mu_0$")
-        if options.threshold and self.threshold is not None:
-            ax.axhline(self.threshold, color="c", ls="--", lw=1,
-                       label="threshold")
-        if options.t_opt and self.t_opt is not None:
-            ax.axvline(self.t_opt, color="r", ls="--", lw=1, label=r"$t_{opt}$")
-        if options.legend:
-            ax.legend(loc="upper right", fontsize=8)
-        ax.set_xlabel("t / T_slot")
-        ax.set_ylabel("Amplitude")
-        if title:
-            ax.set_title(title)
+        dt = self.dt or 0.0
+        style_mgr = (plt.style.context(style_context) if ax is None
+                     else nullcontext())
+
+        with style_mgr:
+            if show_options.histogram:
+                fig, ax = plt.subplots(
+                    1, 2, gridspec_kw={"width_ratios": [4, 1],
+                                       "wspace": 0.03}, figsize=(8, 5))
+            elif ax is None:
+                fig, ax = plt.subplots(1, 1)
+                ax = [ax, ax]
+            else:
+                ax = [ax, ax]
+
+            if title:
+                plt.suptitle(f"Eye diagram {title}")
+
+            ax[0].set_xlim(-1 - dt, 1)
+            if self.mu0 is not None and np.isfinite([self.mu0, self.mu1,
+                                                     self.s0, self.s1]).all():
+                ax[0].set_ylim(self.mu0 - 4 * self.s0,
+                               self.mu1 + 4 * self.s1)
+            ax[0].set_ylabel(r"Amplitude [V]", fontsize=12)
+            ax[0].grid(color="grey", ls="--", lw=0.5, alpha=0.5)
+            ax[0].set_xticks([-1, -0.5, 0, 0.5, 1])
+            ax[0].set_xlabel(r"Time [$t/T_{slot}$]", fontsize=12)
+
+            if show_options.t_opt and self.t_opt is not None:
+                ax[0].axvline(self.t_opt, color=t_opt_color, ls="--",
+                              alpha=0.7)
+                ax[0].axvline(self.t_span0, color=t_opt_color, ls="-",
+                              alpha=0.4)
+                ax[0].axvline(self.t_span1, color=t_opt_color, ls="-",
+                              alpha=0.4)
+
+            if show_options.cross_points and self.y_right and self.y_left:
+                ax[0].plot([self.t_left, self.t_right],
+                           [self.y_left, self.y_right], "xr")
+
+            if show_options.threshold and self.threshold is not None:
+                ax[0].axhline(self.threshold, c="r", ls="--")
+                if show_options.histogram:
+                    ax[1].axhline(self.threshold, c="r", ls="--", label="th")
+                    if show_options.legends:
+                        ax[1].legend()
+
+            for hl in hlines:
+                ax[0].axhline(hl, c="y")
+                if show_options.histogram:
+                    ax[1].axhline(hl, c="y")
+            for vl in vlines:
+                ax[0].axvline(vl, c="y")
+                if show_options.histogram:
+                    ax[1].axvline(vl, c="y")
+
+            if show_options.legends:
+                ax[0].legend([r"$t_{opt}$"], fontsize=12, loc="upper right")
+
+            if show_options.averages and self.mu0 is not None:
+                ax[0].axhline(self.mu1, color=means_color, ls=":", alpha=0.7)
+                ax[0].axhline(self.mu0, color=means_color, ls="-.",
+                              alpha=0.7)
+                if show_options.histogram:
+                    ax[1].axhline(self.mu1, color=means_color, ls=":",
+                                  alpha=0.7, label=r"$\mu_1$")
+                    ax[1].axhline(self.mu0, color=means_color, ls="-.",
+                                  alpha=0.7, label=r"$\mu_0$")
+                    if show_options.legends:
+                        ax[1].legend()
+
+            if show_options.histogram:
+                ax[1].sharey(ax[0])
+                ax[1].tick_params(axis="x", which="both", length=0,
+                                  labelbottom=False)
+                ax[1].tick_params(axis="y", which="both", length=0,
+                                  labelleft=False)
+                ax[1].grid(color="grey", ls="--", lw=0.5, alpha=0.5)
+
+            # density rendering (reference typing.py:2717-2788)
+            sps = int(self.sps)
+            y_ = np.roll(np.asarray(self.y), -sps // 2)[sps // 2:-sps // 2]
+            t_ = np.asarray(self.t)[:-sps]
+
+            N = 350
+            heatmap, xedges, yedges = np.histogram2d(t_, y_, bins=N)
+            heatmap_smooth = gaussian_filter(heatmap, sigma=3)
+
+            if smooth:
+                extent = [xedges[0], xedges[-1], yedges[0], yedges[-1]]
+                vmin, vmax = heatmap.min(), heatmap.max()
+                alpha_values = expit(
+                    (heatmap_smooth - (vmin + 0.05 * (vmax - vmin)))
+                    * 100 / (vmax - vmin)).T * 0.8
+                ax[0].imshow(heatmap_smooth.T, extent=extent,
+                             origin="lower", aspect="auto",
+                             alpha=alpha_values, cmap=cmap,
+                             interpolation="bicubic", resample=True)
+            else:
+                from matplotlib.collections import LineCollection
+
+                t_norm = (t_ - t_.min()) / (t_.max() - t_.min())
+                y_norm = (y_ - y_.min()) / (y_.max() - y_.min())
+                it = np.clip((t_norm * (N - 1)).astype(int), 0, N - 1)
+                iy = np.clip((y_norm * (N - 1)).astype(int), 0, N - 1)
+                color_values = heatmap_smooth[it, iy]
+                color_values = (color_values - color_values.min()) \
+                    / (color_values.max() - color_values.min())
+                tt = t_[:2 * sps]
+                n_traces = len(y_) // (2 * sps)
+                Y2 = y_[:n_traces * 2 * sps].reshape(-1, 2 * sps)
+                C2 = color_values[:n_traces * 2 * sps].reshape(-1, 2 * sps)
+                for c, yy in zip(C2, Y2):
+                    points = np.array([tt, yy]).T.reshape(-1, 1, 2)
+                    segments = np.concatenate([points[:-1], points[1:]],
+                                              axis=1)
+                    colors = getattr(plt.cm, cmap)(c[:-1])
+                    lc = LineCollection(segments, colors=colors,
+                                        linewidth=1, alpha=0.05)
+                    ax[0].add_collection(lc)
+
+            if show_options.histogram:
+                if smooth:
+                    ax[1].plot(heatmap_smooth[170:180].sum(axis=0),
+                               np.linspace(y_.min(), y_.max(), N),
+                               color=t_opt_color)
+                else:
+                    sel = ((t_ > self.t_opt - 0.05 * self.t_dist)
+                           & (t_ < self.t_opt + 0.05 * self.t_dist))
+                    ax[1].hist(y_[sel], bins=200, density=True,
+                               orientation="horizontal", color=t_opt_color,
+                               alpha=0.9, histtype="step")
+
+            if savefig:
+                if savefig.endswith(".png"):
+                    plt.savefig(savefig, dpi=300)
+                else:
+                    plt.savefig(savefig)
+
         return self
 
     def show(self):  # pragma: no cover

@@ -85,3 +85,39 @@ def test_prbs_then_plot_chain():
     gv(sps=8, R=1e9, N=127)
     seq = PRBS(order=7)
     DAC(seq, Vpp=1.0).plot()
+
+
+def test_eye_plot_annotated_options(tmp_path):
+    """Round 2: reference-parity Eye.plot knobs (typing.py:2577-2798) —
+    annotation flags, hlines/vlines, histogram panel, light style,
+    savefig, external ax."""
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import DAC, GET_EYE, PRBS
+    from opticomlib_tpu.eyediag import EyeShowOptions
+
+    gv(sps=16, R=1e9, N=256)
+    sig = DAC(PRBS(order=7, len=256), Vpp=1.0, pulse_shape="gaussian")
+    eye_obj = GET_EYE(sig, nslots=256)
+
+    opts = EyeShowOptions(all_none=True)
+    assert opts.averages and opts.histogram and opts.cross_points
+    out = tmp_path / "eye.png"
+    eye_obj.plot(show_options=opts, hlines=[0.5], vlines=[0.0],
+                 style="light", smooth=True, title="t", savefig=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    plt.close("all")
+
+    # non-smooth per-trace rendering + external ax
+    fig, ax = plt.subplots()
+    eye_obj.plot(show_options=EyeShowOptions(t_opt=True), smooth=False,
+                 ax=ax)
+    plt.close("all")
+
+    # bad style rejected; empty object rejected
+    import pytest as _pytest
+    from opticomlib_tpu.eyediag import Eye
+    with _pytest.raises(TypeError):
+        eye_obj.plot(style="neon")
+    with _pytest.raises(ValueError):
+        Eye({}).plot()
+    gv.default()

@@ -28,6 +28,17 @@ XLA prefers around its FFT anyway.
 Kernels run compiled on TPU; on CPU (tests, ``JAX_PLATFORMS=cpu``) they
 run through the Pallas interpreter (``interpret=True`` is selected
 automatically from the default backend).
+
+**Status (round-2 measure-then-wire study, scripts/bench_pallas_wiring.py
+on the real chip — see docs/performance.md for the numbers): no
+production device calls these kernels.**  ``fir_filter`` crashes the
+remote Pallas compile path; ``fir_filter_matmul`` loses to power-of-two
+circular FFT convolution at every realistic tap count; ``adc_quantize``
+loses ~19x to the fused XLA pointwise quantizer; ``histogram2d`` fails
+Mosaic verification on this backend and loses to XLA scatter-add
+anyway; ``nl_halfstep``/``cmul`` were rejected in round 1 (the SSFM step
+is ~90 % FFT and XLA fuses the rest).  They remain in-tree as tested
+reference kernels for future toolchains.
 """
 from __future__ import annotations
 

@@ -129,7 +129,13 @@ def fft_convolve_same(x, h):
     h = xp.asarray(h)
     n = x.shape[-1]
     m = h.shape[-1]
-    nfft = _next_fast_len(n + m - 1)
+    if xp is jnp and jax.default_backend() == "tpu":
+        # XLA's TPU FFT strongly prefers powers of two: measured 32 ms vs
+        # 420 ms for the same convolution padded to 2^23 vs the 5-smooth
+        # 4_199_040 at n=2^22 (scripts/bench_pallas_wiring.py study)
+        nfft = 1 << (n + m - 2).bit_length()
+    else:
+        nfft = _next_fast_len(n + m - 1)
 
     complex_out = np.iscomplexobj(x) or np.iscomplexobj(h)
     if complex_out:

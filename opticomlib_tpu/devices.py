@@ -685,26 +685,57 @@ def ADC(input, fs: Optional[float] = None, n: int = 8,
 # GET_EYE (reference devices.py:1635-1868)
 # ---------------------------------------------------------------------------
 def GET_EYE(input, nslots: int = 4096,
-            sps_resamp: Optional[int] = None) -> Eye:
+            sps_resamp: Optional[int] = None,
+            engine: Literal["auto", "host", "device"] = "auto") -> Eye:
     """Blind eye-diagram metrology.
 
     Statistical kernels are vectorized reductions (ops/eyeana.py) replacing
     the reference's sklearn KMeans / scipy gaussian_kde; outputs carry the
     same field names/meanings within estimation tolerance.
+
+    ``engine`` selects where the reductions run: ``"host"`` is the NumPy
+    pipeline; ``"device"`` runs the jitted twin
+    (:func:`opticomlib_tpu.ops.eyeana.eye_metrics_jax`) on the accelerator —
+    only scalars and the rendering traces come back to the host.  ``"auto"``
+    picks the device when the signal payload is already a ``jax.Array``
+    (e.g. the output of a fused link program), the host otherwise.
     """
     tic()
     if isinstance(input, np.ndarray) and input.ndim > 2:
         raise ValueError("The input must be a 1D or 2D array.")
-    if not isinstance(input, ElectricalSignal):
+    if not isinstance(input, ElectricalSignal) \
+            and not isinstance(input, jax.Array):
         input = ElectricalSignal(np.asarray(input))
+    if isinstance(input, jax.Array):
+        input = ElectricalSignal(input)
 
     sps = input.sps
-    samples = np.asarray(input.to_numpy()).real
-    if samples.ndim == 2:
-        samples = samples.sum(axis=0)
+    on_device = isinstance(input.signal, jax.Array)
+    use_device = engine == "device" or (engine == "auto" and on_device)
 
-    metrics = eyeana.eye_metrics(samples, sps=sps, nslots=nslots,
-                                 sps_resamp=sps_resamp)
+    if use_device:
+        samples = input.signal if input.noise is NULL \
+            else input.signal + input.noise
+        samples = jnp.real(jnp.asarray(samples))
+        if samples.ndim == 2:
+            samples = samples.sum(axis=0)
+        metrics = dict(eyeana.eye_metrics_jit(
+            samples, sps=sps, nslots=nslots, sps_resamp=sps_resamp))
+        # scalars to host floats; traces stay as arrays (tiny: <=nslots*sps)
+        for k, v in metrics.items():
+            if isinstance(v, jax.Array) and v.ndim == 0:
+                metrics[k] = v.item()
+            elif isinstance(v, jax.Array):
+                metrics[k] = np.asarray(v)
+        for k in ("threshold", "y_left", "y_right"):
+            if metrics.get(k) is not None and np.isnan(metrics[k]):
+                metrics[k] = None
+    else:
+        samples = np.asarray(input.to_numpy()).real
+        if samples.ndim == 2:
+            samples = samples.sum(axis=0)
+        metrics = eyeana.eye_metrics(samples, sps=sps, nslots=nslots,
+                                     sps_resamp=sps_resamp)
     metrics["dt"] = input.dt
     metrics["execution_time"] = toc()
     return Eye(metrics)

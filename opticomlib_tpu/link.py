@@ -57,12 +57,15 @@ import numpy as np
 from scipy.constants import e, h as h_planck, k as kB, pi
 
 from .ops import filters, pulses, ssfm
+from .ops.eyeana import eye_metrics_jax
 from .ops.noise import gaussian_inside, wiener_phase_inside
 from .params import SimParams, gv
 from .signals import BinarySequence, ElectricalSignal
 from .utils.analysis import idb, idbm
 
 __all__ = ["FiberSpec", "EDFASpec", "LinkSpec", "LinkProgram", "build_link"]
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -409,6 +412,131 @@ class LinkProgram:
         ns.decide = decide
         ns.ber = ber
         return ns
+
+    def eye(self, bits=None, seed: int = 0, prbs_order: int = 9,
+            nslots: int = 8192, sps_resamp: Optional[int] = None,
+            with_traces: bool = False):
+        """Fused chain **plus** eye metrology: TX -> channel -> RX ->
+        GET_EYE as ONE XLA program.
+
+        The waveform never leaves the accelerator — the blind eye
+        estimation pipeline (reference devices.py:1635-1868) runs as
+        jitted reductions (:func:`opticomlib_tpu.ops.eyeana.
+        eye_metrics_jax`) directly on the device-resident PD voltage, and
+        only the scalar eye parameters (mu0/mu1/s0/s1, crossings, t_opt,
+        threshold, ER, eye height) are transferred back.  Set
+        ``with_traces=True`` to also return the rendering traces
+        (``t``/``y``/...) for :meth:`Eye.plot`.
+        """
+        from .eyediag import Eye
+
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=self.n_bits)
+            bits = b
+        tx = BinarySequence(bits)
+        if tx.size != self.n_bits:
+            raise ValueError(f"need {self.n_bits} bits, got {tx.size}")
+
+        key = (nslots, sps_resamp, with_traces)
+        cache = getattr(self, "_eye_jitted", None)
+        if cache is None:
+            cache = self._eye_jitted = {}
+        if key not in cache:
+            sps = self.params.sps
+            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
+
+            def prog(bits_f32, seed_u32, consts):
+                v = self.fn(bits_f32, seed_u32, consts)[0]
+                m = eye_metrics_jax(v, sps=sps, nslots=nslots,
+                                    sps_resamp=sps_resamp)
+                if not with_traces:
+                    for k in trace_keys:
+                        m.pop(k, None)
+                return m
+
+            cache[key] = jax.jit(prog)
+
+        metrics = jax.device_get(cache[key](
+            jnp.asarray(tx.to_numpy(np.float32)), jnp.uint32(seed),
+            self.consts))
+        out = {}
+        for k, v in metrics.items():
+            if isinstance(v, np.ndarray) and v.ndim == 0:
+                out[k] = v.item()
+            else:
+                out[k] = v
+        for k in ("threshold", "y_left", "y_right"):
+            if out.get(k) is not None and np.isnan(out[k]):
+                out[k] = None
+        out["dt"] = 1.0 / self.params.fs
+        return Eye(out)
+
+    def dsp(self, bits=None, seed: int = 0, prbs_order: int = 9,
+            nslots: int = 8192, sps_resamp: Optional[int] = 128):
+        """Fully-fused OOK receiver: chain -> GET_EYE -> THRESHOLD_EST ->
+        slicer -> **BER**, one XLA program, scalars-only readback.
+
+        Mirrors ``models.ook.DSP`` + ``BER_analizer('counter')``
+        (reference ook.py:63-132, 135-218): blind eye metrology on the PD
+        voltage, the 1000-point ``argmin 0.5*[Q((mu1-r)/s1)+Q((r-mu0)/s0)]``
+        threshold scan, per-slot decision at the sampler instant, and the
+        error count against the transmitted bits — with every stage a
+        device-side reduction (north star: "GET_EYE/BER become vectorized
+        reductions").  Returns a namespace with ``ber``, ``threshold``,
+        ``n_errors`` and the eye scalars (``Eye`` object without traces).
+        """
+        from .eyediag import Eye
+
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=self.n_bits)
+            bits = b
+        tx = BinarySequence(bits)
+        if tx.size != self.n_bits:
+            raise ValueError(f"need {self.n_bits} bits, got {tx.size}")
+
+        key = (nslots, sps_resamp)
+        cache = getattr(self, "_dsp_jitted", None)
+        if cache is None:
+            cache = self._dsp_jitted = {}
+        if key not in cache:
+            sps = self.params.sps
+            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
+
+            def prog(bits_f32, seed_u32, consts):
+                v, slots = self.fn(bits_f32, seed_u32, consts)[:2]
+                m = eye_metrics_jax(v, sps=sps, nslots=nslots,
+                                    sps_resamp=sps_resamp)
+                for k in trace_keys:
+                    m.pop(k, None)
+                # THRESHOLD_EST (reference ook.py:22-60).  The scan runs in
+                # log space — float32 Q underflows to a flat zero basin at
+                # high SNR, which would degenerate the argmin; log(Q(x)) =
+                # log_ndtr(-x) stays resolved arbitrarily deep, and
+                # argmin log(Q1+Q0) == argmin 0.5*(Q1+Q0).
+                r = jnp.linspace(m["mu0"], m["mu1"], 1000)
+                lq1 = jax.scipy.special.log_ndtr(-(m["mu1"] - r) / m["s1"])
+                lq0 = jax.scipy.special.log_ndtr(-(r - m["mu0"]) / m["s0"])
+                rth = r[jnp.argmin(jnp.logaddexp(lq1, lq0))]
+                rx = slots.real > rth
+                n_err = jnp.sum(rx != (bits_f32 > 0.5))
+                return m, rth, n_err
+
+            cache[key] = jax.jit(prog)
+
+        m, rth, n_err = jax.device_get(cache[key](
+            jnp.asarray(tx.to_numpy(np.float32)), jnp.uint32(seed),
+            self.consts))
+        out = {k: (v.item() if isinstance(v, np.ndarray) and v.ndim == 0
+                   else v) for k, v in m.items()}
+        for k in ("threshold", "y_left", "y_right"):
+            if out.get(k) is not None and np.isnan(out[k]):
+                out[k] = None
+        out["dt"] = 1.0 / self.params.fs
+        n_err = int(n_err)
+        return SimpleNamespace(ber=n_err / self.n_bits, n_errors=n_err,
+                               threshold=float(rth), eye=Eye(out), tx=tx)
 
 
 def build_link(spec: LinkSpec, n_bits: int,

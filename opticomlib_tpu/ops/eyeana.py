@@ -28,7 +28,8 @@ import numpy as np
 from ..utils.analysis import shortest_int
 from .pulses import resample_fft
 
-__all__ = ["kmeans2_1d", "kmeans2_2d", "kde_min_threshold", "eye_metrics"]
+__all__ = ["kmeans2_1d", "kmeans2_2d", "kde_min_threshold", "eye_metrics",
+           "eye_metrics_jax", "eye_metrics_jit"]
 
 
 def kmeans2_1d(y: np.ndarray, iters: int = 32):
@@ -243,3 +244,262 @@ def eye_metrics(input_samples: np.ndarray, sps: int, nslots: int = 4096,
                  else np.inf if mu0 == 0 else np.nan)
     out["eye_h"] = mu1 - 3 * s1 - mu0 - 3 * s0
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side metrology: the same pipeline as jittable jnp reductions
+# ---------------------------------------------------------------------------
+# Every statistical kernel above is re-expressed with static shapes and
+# masked reductions so the whole estimation runs *on the accelerator* —
+# fuseable behind a link chain in one XLA program, with only scalars
+# returned to the host.  Subset operations (top/bottom level split, the
+# 25-75% crossing band, the t_opt center window) become boolean masks;
+# dynamic-size sorts become full sorts with +inf padding; the KDE becomes
+# a fixed 4096-bin scatter-add histogram contracted against a Gaussian
+# kernel matrix.  (North star: "GET_EYE/BER become vectorized reductions".)
+
+def _masked_mean(x, mask):
+    c = jnp.sum(mask)
+    return jnp.where(c > 0, jnp.sum(jnp.where(mask, x, 0.0))
+                     / jnp.maximum(c, 1), jnp.nan)
+
+
+def _masked_std(x, mask):
+    m = _masked_mean(x, mask)
+    v = _masked_mean((x - m) ** 2, mask)
+    return jnp.sqrt(v)
+
+
+def _kmeans2_1d_jax(y, iters: int = 32):
+    """Device twin of :func:`kmeans2_1d` (fixed iteration count; Lloyd's
+    update is a fixed point, so extra iterations after convergence are
+    no-ops)."""
+    c0 = jnp.quantile(y, 0.1)
+    c1 = jnp.quantile(y, 0.9)
+
+    def body(_, c):
+        c0, c1 = c
+        mid = 0.5 * (c0 + c1)
+        lo = y <= mid
+        n_lo = jnp.sum(lo)
+        ok = (n_lo > 0) & (n_lo < y.size) & (c0 != c1)
+        c0n = jnp.where(ok, _masked_mean(y, lo), c0)
+        c1n = jnp.where(ok, _masked_mean(y, ~lo), c1)
+        return (c0n, c1n)
+
+    return jax.lax.fori_loop(0, iters, body, (c0, c1))
+
+
+def _shortest_int_masked(y, mask, percent: float = 50.0):
+    """Shortest interval holding ``percent`` % of the masked samples
+    (device twin of utils.analysis.shortest_int on a boolean subset).
+
+    Non-members sort to +inf, so the m member values occupy positions
+    0..m-1 of the sorted array; the dynamic lag window is then a pair of
+    gathers at (i, i+lag).  Ties resolve to the floor-mean index exactly
+    like the host estimator.
+    """
+    big = jnp.asarray(jnp.inf, y.dtype)
+    ys = jnp.sort(jnp.where(mask, y, big))
+    m = jnp.sum(mask)
+    lag = jnp.maximum((m * percent / 100.0).astype(jnp.int32), 1)
+    idx = jnp.arange(y.size, dtype=jnp.int32)
+    hi = jnp.take(ys, jnp.clip(idx + lag, 0, y.size - 1))
+    diff = hi - ys
+    valid = (idx + lag) < m
+    diff = jnp.where(valid, diff, jnp.inf)
+    dmin = jnp.min(diff)
+    tie = valid & (jnp.abs(diff - dmin) < 1e-10)
+    n_tie = jnp.maximum(jnp.sum(tie), 1)
+    i = (jnp.sum(jnp.where(tie, idx, 0)) // n_tie).astype(jnp.int32)
+    return jnp.take(ys, i), jnp.take(ys, jnp.clip(i + lag, 0, y.size - 1))
+
+
+def _kmeans2_2d_jax(t, y, mask, init, iters: int = 32):
+    """Device twin of :func:`kmeans2_2d` on masked (t, y) points."""
+    def body(_, centers):
+        d0 = (t - centers[0, 0]) ** 2 + (y - centers[0, 1]) ** 2
+        d1 = (t - centers[1, 0]) ** 2 + (y - centers[1, 1]) ** 2
+        in1 = d1 < d0
+        m0 = mask & ~in1
+        m1 = mask & in1
+        c0 = jnp.where(jnp.sum(m0) > 0,
+                       jnp.stack([_masked_mean(t, m0), _masked_mean(y, m0)]),
+                       centers[0])
+        c1 = jnp.where(jnp.sum(m1) > 0,
+                       jnp.stack([_masked_mean(t, m1), _masked_mean(y, m1)]),
+                       centers[1])
+        return jnp.stack([c0, c1])
+
+    return jax.lax.fori_loop(0, iters, body, jnp.asarray(init, y.dtype))
+
+
+def _kde_min_threshold_jax(y, mask, mu0, mu1, npts: int = 500,
+                           nbins: int = 4096):
+    """Device twin of :func:`kde_min_threshold`: Scott's-rule Gaussian KDE
+    over the masked window, evaluated on a ``npts`` grid between the two
+    levels via a fixed-size histogram contraction (O(n + npts*nbins))."""
+    n_win = jnp.sum(mask)
+    bw = _masked_std(y, mask) * jnp.maximum(n_win, 1).astype(y.dtype) ** (-1 / 5)
+
+    big = jnp.asarray(jnp.inf, y.dtype)
+    y_lo = jnp.min(jnp.where(mask, y, big))
+    y_hi = jnp.max(jnp.where(mask, y, -big))
+    lo_g = jnp.minimum(mu0, mu1)
+    hi_g = jnp.maximum(mu0, mu1)
+    lo = jnp.minimum(y_lo, lo_g) - 5 * bw
+    hi = jnp.maximum(y_hi, hi_g) + 5 * bw
+    width = jnp.maximum(hi - lo, jnp.asarray(np.finfo(np.float32).tiny,
+                                             y.dtype))
+
+    bins = jnp.clip(((y - lo) / width * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros(nbins, y.dtype).at[bins].add(
+        mask.astype(y.dtype), mode="drop")
+    centers = lo + (jnp.arange(nbins, dtype=y.dtype) + 0.5) / nbins * width
+
+    grid = jnp.linspace(mu0, mu1, npts)
+    # (npts, nbins) Gaussian kernel contraction — MXU-friendly matvec
+    z = (grid[:, None] - centers[None, :]) / bw
+    pdf = jnp.exp(-0.5 * z * z) @ hist
+    thr = grid[jnp.argmin(pdf)]
+    ok = (n_win >= 2) & jnp.isfinite(mu0) & jnp.isfinite(mu1) \
+        & (mu0 != mu1) & (bw > 0)
+    return jnp.where(ok, thr, jnp.nan)
+
+
+def eye_metrics_jax(samples, sps: int, nslots: int = 4096,
+                    sps_resamp: Optional[int] = None) -> dict:
+    """Jittable device-side :func:`eye_metrics`.
+
+    Same 8-stage pipeline (reference devices.py:1635-1868), every kernel a
+    vectorized jnp reduction; shapes are static in (``samples.size``,
+    ``sps``, ``nslots``, ``sps_resamp``) so the whole function can be
+    ``jax.jit``-ed — or inlined after a fused link chain, keeping the
+    waveform on device and returning only scalars.  Returns a dict of
+    jnp scalars plus the (device-resident) rendering traces ``t``/``y``/
+    ``y_top``/``y_bot``/``y_25_75``.
+    """
+    y_in = jnp.real(jnp.asarray(samples)).ravel().astype(jnp.float32)
+    out: dict = {"sps": sps}
+    n0 = int(y_in.shape[0])
+
+    # 1. truncation and centering (static shapes)
+    rem = n0 % (2 * sps)
+    if rem:
+        y_in = y_in[:-rem]
+    nslots = min(int(y_in.shape[0] // sps), nslots)
+    y_in = y_in[: nslots * sps]
+    y_in = jnp.roll(y_in, -(sps // 2) + 1)
+
+    # 2. optional FFT resampling (runs on device through ops/pulses)
+    if sps_resamp:
+        y = resample_fft(y_in, nslots * sps_resamp).astype(jnp.float32)
+        out["sps_resamp"] = sps_resamp
+        t = np.kron(np.ones(nslots // 2),
+                    np.linspace(-1, 1 - 1 / sps_resamp, 2 * sps_resamp))
+    else:
+        y = y_in
+        t = np.kron(np.ones(nslots // 2),
+                    np.linspace(-1, 1 - 1 / sps, 2 * sps))
+    t = jnp.asarray(t, jnp.float32)
+    out["y"] = y
+    out["t"] = t
+
+    # 3. amplitude bi-level split
+    c0, c1 = _kmeans2_1d_jax(y)
+    vm = 0.5 * (c0 + c1)
+
+    # 4. level estimates (masked shortest-50%-interval)
+    top_m = y > vm
+    bot_m = y < vm
+    ti0, ti1 = _shortest_int_masked(y, top_m, 50)
+    bi0, bi1 = _shortest_int_masked(y, bot_m, 50)
+    top_ok = jnp.sum(top_m) > 2
+    bot_ok = jnp.sum(bot_m) > 2
+    ti0 = jnp.where(top_ok, ti0, vm)
+    ti1 = jnp.where(top_ok, ti1, vm)
+    bi0 = jnp.where(bot_ok, bi0, vm)
+    bi1 = jnp.where(bot_ok, bi1, vm)
+    out["top_int"] = jnp.stack([ti0, ti1])
+    out["bot_int"] = jnp.stack([bi0, bi1])
+    state_1 = 0.5 * (ti0 + ti1)
+    state_0 = 0.5 * (bi0 + bi1)
+    d01 = state_1 - state_0
+    v75 = state_1 - 0.25 * d01
+    v25 = state_0 + 0.25 * d01
+
+    # 5. crossing times (masked 2-means on the 25-75% band)
+    cond = (y > v25) & (y < v75)
+    have_cross = jnp.sum(cond) >= 2
+    mid_lv = 0.5 * (state_0 + state_1)
+    init = jnp.stack([jnp.stack([t.min(), mid_lv]),
+                      jnp.stack([t.max(), mid_lv])])
+    ty_c = _kmeans2_2d_jax(t, y, cond, init)
+    left = jnp.argmin(ty_c[:, 0])
+    right = 1 - left
+
+    def _nearest(vals, x):
+        return vals[jnp.argmin(jnp.abs(vals - x))]
+
+    t_left = jnp.where(have_cross, _nearest(t, ty_c[left, 0]),
+                       jnp.float32(-0.5))
+    t_right = jnp.where(have_cross, _nearest(t, ty_c[right, 0]),
+                        jnp.float32(0.5))
+    t_center = jnp.where(have_cross, _nearest(t, jnp.mean(ty_c[:, 0])),
+                         jnp.float32(0.0))
+    out["t_left"] = t_left
+    out["t_right"] = t_right
+    out["t_opt"] = t_center
+    # nearest-value lookups snap to the *pre-resample* sample values,
+    # like the host pipeline's y_set = unique(y_in)
+    out["y_left"] = jnp.where(have_cross, _nearest(y_in, ty_c[left, 1]),
+                              jnp.nan)
+    out["y_right"] = jnp.where(have_cross, _nearest(y_in, ty_c[right, 1]),
+                               jnp.nan)
+    out["y_25_75"] = jnp.where(cond, y, jnp.nan)
+
+    # 6. center-window statistics
+    t_dist = t_right - t_left
+    t_span0 = t_center - 0.05 * t_dist
+    t_span1 = t_center + 0.05 * t_dist
+    out["t_dist"] = t_dist
+    out["t_span0"] = t_span0
+    out["t_span1"] = t_span1
+    y_center = _nearest(y_in, mid_lv)
+
+    i_min = jnp.argmin(jnp.abs(t - t_center)).astype(jnp.int32)
+    if sps_resamp:
+        q = (i_min - sps_resamp // 2 + 1) * sps
+        # truncate toward zero (host: int(q / sps_resamp)), not floor
+        instant = (jnp.sign(q) * (jnp.abs(q) // sps_resamp)).astype(jnp.int32)
+    else:
+        instant = i_min - sps // 2 + 1
+    out["i"] = instant
+
+    window = (t_span0 < t) & (t < t_span1)
+    top_sel = (y > y_center) & window
+    bot_sel = (y < y_center) & window
+    out["y_top"] = jnp.where(top_sel, y, jnp.nan)
+    out["y_bot"] = jnp.where(bot_sel, y, jnp.nan)
+
+    out["mu1"] = mu1 = _masked_mean(y, top_sel)
+    out["s1"] = s1 = _masked_std(y, top_sel)
+    out["mu0"] = mu0 = _masked_mean(y, bot_sel)
+    out["s0"] = s0 = _masked_std(y, bot_sel)
+
+    # 7. KDE threshold
+    out["threshold"] = _kde_min_threshold_jax(y, window, mu0, mu1)
+
+    # 8. ER and eye opening
+    out["er"] = jnp.where(
+        mu0 > 0, 10 * jnp.log10(mu1 / mu0),
+        jnp.where(mu0 == 0, jnp.inf, jnp.nan))
+    out["eye_h"] = mu1 - 3 * s1 - mu0 - 3 * s0
+    return out
+
+
+#: Compiled entry point (shapes/params static): used by
+#: :func:`opticomlib_tpu.devices.GET_EYE` with ``engine="device"`` and by
+#: the fused link metrology (:meth:`opticomlib_tpu.link.LinkProgram.eye`).
+eye_metrics_jit = jax.jit(
+    eye_metrics_jax, static_argnames=("sps", "nslots", "sps_resamp"))

@@ -1,0 +1,213 @@
+"""Device-side eye metrology (ops/eyeana.eye_metrics_jax).
+
+The jitted reduction pipeline must reproduce the host NumPy pipeline
+(itself equivalence-tested against the reference GET_EYE,
+reference devices.py:1635-1868) on identical inputs, and be fuseable
+behind the end-to-end link program (LinkProgram.eye).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticomlib_tpu import gv
+from opticomlib_tpu.devices import DAC, GET_EYE, PRBS
+from opticomlib_tpu.link import LinkSpec, build_link
+from opticomlib_tpu.ops import eyeana
+from opticomlib_tpu.signals import ElectricalSignal
+
+SPS, R, NBITS = 16, 10e9, 2**10
+
+SCALARS = ("mu0", "mu1", "s0", "s1", "t_left", "t_right", "t_opt",
+           "t_dist", "threshold", "er", "eye_h", "i")
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    gv.default()
+    gv(sps=SPS, R=R, N=NBITS)
+    yield
+    gv.default()
+
+
+def _ook_waveform(seed=7, noise=0.05, nbits=NBITS):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, nbits)
+    x = np.asarray(
+        DAC(bits, Vpp=1, pulse_shape="gaussian").to_numpy()).real + 0.5
+    if noise:
+        x = x + rng.normal(0, noise, x.size)
+    return x
+
+
+class TestDeviceVsHost:
+    @pytest.mark.parametrize("sps_resamp", [None, 64])
+    def test_metrics_match_host(self, sps_resamp):
+        x = _ook_waveform()
+        h = eyeana.eye_metrics(x, sps=SPS, nslots=512,
+                               sps_resamp=sps_resamp)
+        d = eyeana.eye_metrics_jit(jnp.asarray(x, jnp.float32), sps=SPS,
+                                   nslots=512, sps_resamp=sps_resamp)
+        for k in SCALARS:
+            hv, dv = h[k], np.asarray(d[k]).item()
+            if hv is None:
+                assert np.isnan(dv)
+            elif np.isnan(hv):
+                assert np.isnan(dv)
+            else:
+                assert dv == pytest.approx(hv, rel=2e-4, abs=2e-5), k
+
+    def test_traces_match_host(self):
+        x = _ook_waveform()
+        h = eyeana.eye_metrics(x, sps=SPS, nslots=512)
+        d = eyeana.eye_metrics_jit(jnp.asarray(x, jnp.float32), sps=SPS,
+                                   nslots=512)
+        np.testing.assert_allclose(np.asarray(d["t"]), h["t"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d["y"]), h["y"],
+                                   rtol=1e-5, atol=1e-6)
+        # NaN-masked trace overlays select the same samples
+        for k in ("y_top", "y_bot", "y_25_75"):
+            np.testing.assert_array_equal(
+                np.isnan(np.asarray(d[k])), np.isnan(h[k]), err_msg=k)
+
+    def test_shortest_int_masked_matches_host(self):
+        from opticomlib_tpu.utils.analysis import shortest_int
+        rng = np.random.default_rng(3)
+        y = rng.normal(0, 1, 4096).astype(np.float32)
+        mask = y > 0.2
+        lo, hi = shortest_int(y[mask], 50)
+        dlo, dhi = eyeana._shortest_int_masked(
+            jnp.asarray(y), jnp.asarray(mask), 50)
+        assert float(dlo) == pytest.approx(float(lo), rel=1e-6)
+        assert float(dhi) == pytest.approx(float(hi), rel=1e-6)
+
+    def test_kmeans_1d_matches_host(self):
+        y = _ook_waveform(noise=0.08)
+        c0, c1 = eyeana.kmeans2_1d(y)
+        d0, d1 = eyeana._kmeans2_1d_jax(jnp.asarray(y, jnp.float32))
+        assert float(d0) == pytest.approx(c0, rel=1e-4)
+        assert float(d1) == pytest.approx(c1, rel=1e-4)
+
+    def test_kde_threshold_matches_host(self):
+        rng = np.random.default_rng(11)
+        y = np.concatenate([rng.normal(0, 0.05, 4000),
+                            rng.normal(1, 0.08, 4000)]).astype(np.float32)
+        thr_h = eyeana.kde_min_threshold(y, 0.0, 1.0)
+        thr_d = eyeana._kde_min_threshold_jax(
+            jnp.asarray(y), jnp.ones(y.size, bool),
+            jnp.float32(0.0), jnp.float32(1.0))
+        # device evaluates exact KDE on the histogram; host convolves then
+        # interpolates — same argmin up to the grid/bin width
+        assert float(thr_d) == pytest.approx(thr_h, abs=5e-3)
+
+    def test_degenerate_flat_input(self):
+        """Flat waveform: no crossings — device falls back like the host."""
+        x = np.ones(256 * SPS, np.float32)
+        d = eyeana.eye_metrics_jit(jnp.asarray(x), sps=SPS, nslots=256)
+        assert float(d["t_left"]) == -0.5
+        assert float(d["t_right"]) == 0.5
+        assert float(d["t_opt"]) == 0.0
+
+
+class TestGetEyeEngine:
+    def test_engine_device_matches_host(self):
+        x = _ook_waveform()
+        sig = ElectricalSignal(x)
+        e_h = GET_EYE(sig, nslots=512, engine="host")
+        e_d = GET_EYE(sig, nslots=512, engine="device")
+        for k in SCALARS:
+            hv, dv = getattr(e_h, k), getattr(e_d, k)
+            if hv is None:
+                assert dv is None or np.isnan(dv)
+            else:
+                assert dv == pytest.approx(hv, rel=2e-4, abs=2e-5), k
+
+    def test_auto_uses_device_for_jax_payload(self):
+        x = _ook_waveform()
+        sig = ElectricalSignal(jnp.asarray(x, jnp.float32))
+        e = GET_EYE(sig, nslots=512)  # auto -> device
+        assert isinstance(e.mu1, float)
+        assert 1.2 < e.mu1 < 1.8  # levels at 0.5 / ~1.5 (Vpp=1, +0.5)
+        assert e.threshold is not None
+
+    def test_jax_array_input_accepted(self):
+        x = jnp.asarray(_ook_waveform(), jnp.float32)
+        e = GET_EYE(x, nslots=512)
+        assert e.threshold is not None
+
+
+class TestFusedLinkEye:
+    def _prog(self):
+        spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                        pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                        pd_BW=0.75 * R, include_thermal=False,
+                        include_shot=False)
+        return build_link(spec, n_bits=NBITS)
+
+    def test_fused_eye_matches_post_hoc(self):
+        """One-program chain+metrology == GET_EYE on the run() output."""
+        prog = self._prog()
+        tx = PRBS(order=9, len=NBITS)
+        e_fused = prog.eye(bits=tx, seed=0, nslots=512)
+        res = prog.run(bits=tx, seed=0)
+        e_host = GET_EYE(res.v, nslots=512, engine="host")
+        for k in SCALARS:
+            hv, dv = getattr(e_host, k), getattr(e_fused, k)
+            if hv is None:
+                assert dv is None or np.isnan(dv)
+            else:
+                assert dv == pytest.approx(hv, rel=2e-3, abs=1e-4), k
+
+    def test_traces_only_when_requested(self):
+        prog = self._prog()
+        tx = PRBS(order=9, len=NBITS)
+        e0 = prog.eye(bits=tx, seed=0, nslots=512)
+        assert e0.y is None  # scalar-only transfer
+        e1 = prog.eye(bits=tx, seed=0, nslots=512, with_traces=True)
+        assert e1.y is not None and e1.y.size == 512 * SPS
+
+
+class TestFusedDSP:
+    def _prog(self, **kw):
+        base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                    pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                    pd_BW=0.75 * R)
+        base.update(kw)
+        return build_link(LinkSpec(**base), n_bits=NBITS)
+
+    def test_fused_dsp_matches_host_ook_dsp(self):
+        """Device eye->threshold->slicer->BER == models.ook.DSP +
+        BER_analizer('counter') on the run() waveform."""
+        from opticomlib_tpu.models import ook
+        prog = self._prog(include_thermal=True, include_shot=True)
+        tx = PRBS(order=9, len=NBITS)
+        d = prog.dsp(bits=tx, seed=3, nslots=512, sps_resamp=None)
+        res = prog.run(bits=tx, seed=3)
+        eye_h = GET_EYE(res.v, nslots=512, engine="host")
+        rth_h = ook.THRESHOLD_EST(eye_h)
+        from opticomlib_tpu.devices import SAMPLER
+        rx_h = SAMPLER(res.v, SPS // 2) > rth_h
+        ber_h = ook.BER_analizer("counter", Tx=tx, Rx=rx_h)
+        assert d.threshold == pytest.approx(rth_h, rel=1e-3)
+        assert d.ber == pytest.approx(ber_h, abs=2 / NBITS)
+        assert d.eye.mu1 == pytest.approx(eye_h.mu1, rel=1e-3)
+
+    def test_fused_dsp_zero_errors_noiseless(self):
+        prog = self._prog(include_thermal=False, include_shot=False)
+        tx = PRBS(order=9, len=NBITS)
+        d = prog.dsp(bits=tx, seed=0, nslots=512, sps_resamp=None)
+        assert d.n_errors == 0
+        assert d.ber == 0.0
+
+    def test_fused_dsp_counts_errors_at_low_power(self):
+        """Heavy thermal noise at tiny launch power: BER must be > 0 and
+        the fused count must track a host recount with its own threshold."""
+        prog = self._prog(P0=-22, include_thermal=True, include_shot=False)
+        tx = PRBS(order=9, len=NBITS)
+        d = prog.dsp(bits=tx, seed=5, nslots=512, sps_resamp=None)
+        assert 0.0 < d.ber < 0.5
+        res = prog.run(bits=tx, seed=5)
+        slots = np.asarray(res.slots.to_numpy()).real
+        rx = (slots > d.threshold).astype(np.uint8)
+        ber_recount = float(np.mean(rx != tx.data))
+        assert d.ber == pytest.approx(ber_recount, abs=1e-9)

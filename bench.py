@@ -135,33 +135,45 @@ def bench_b2b_chain():
 
 
 def bench_ppm(M=8, n_sym=2**15, sps=32):
-    """BASELINE config 3: PPM M=8 TX->channel->RX chain + soft decision.
-
-    The waveform chain (encode -> DAC -> MZM -> fiber -> PD -> LPF) is the
-    fused link on the PPM slot sequence; SDD argmax runs host-side (it is
-    O(n) on 1 sample/slot, not on the throughput path)."""
-    import jax.numpy as jnp
-
+    """BASELINE config 3: PPM M=8 TX->channel->RX *receiver-complete*
+    fused program (chain + SDD argmax decision + decode + BER on device,
+    LinkProgram.dsp_ppm; scalars-only readback)."""
     from opticomlib_tpu.link import FiberSpec
-    from opticomlib_tpu.models import ppm as ppm_mod
     from opticomlib_tpu.ops.prbs import prbs as _prbs
 
     k = int(np.log2(M))
     bits, _ = _prbs(15, length=n_sym * k)
-    slots = ppm_mod.PPM_ENCODER(bits, M)
-    n_slots = slots.size
+    n_slots = n_sym * M
     prog = _build_ook_link((FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
                                       gamma=1.3),),
                            n_bits=n_slots, sps=sps)
-    x = jnp.asarray(slots.to_numpy(np.float32))
-    seed = jnp.uint32(3)
+    box = {}
 
     def run():
-        v, s = prog.jitted(x, seed)[:2]
-        float(s[17])
+        box["d"] = prog.dsp_ppm(M, decision="soft", bits=bits, seed=3)
 
     best = _time(run, reps=2)
-    return n_slots * sps / best, {"M": M, "wall_s": round(best, 3)}
+    return n_slots * sps / best, {"M": M, "ber": box["d"].ber,
+                                  "wall_s": round(best, 3)}
+
+
+def bench_fused_dsp(n_bits=N_BITS):
+    """Config 2 receiver-complete: chain + GET_EYE + THRESHOLD_EST +
+    slicer + BER as one program (LinkProgram.dsp)."""
+    from opticomlib_tpu.link import EDFASpec, FiberSpec
+    from opticomlib_tpu.ops.prbs import prbs as _prbs
+
+    prog = _build_ook_link((FiberSpec(**CFG), EDFASpec(G=10, NF=5)),
+                           n_bits=n_bits)
+    bits, _ = _prbs(15, length=n_bits)
+    box = {}
+
+    def run():
+        box["d"] = prog.dsp(bits=bits, seed=3)
+
+    best = _time(run, reps=2)
+    return n_bits * SPS / best, {"ber": box["d"].ber,
+                                 "wall_s": round(best, 3)}
 
 
 def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
@@ -258,6 +270,7 @@ def main():
         ppm_sps, ppm_d = bench_ppm()
         dbp_sps, dbp_d = bench_dbp()
         wdm_sps, wdm_d = bench_wdm_batch()
+        dsp_sps, dsp_d = bench_fused_dsp()
         all_results = {
             "config1_b2b_chain": {"samples_per_s": round(b2b_sps, 1),
                                   **b2b_detail},
@@ -265,6 +278,8 @@ def main():
                                   **ssfm_detail},
             "config2_full_chain": {"samples_per_s": round(chain_sps, 1),
                                    **chain_detail},
+            "config2_full_dsp": {"samples_per_s": round(dsp_sps, 1),
+                                 **dsp_d},
             "config3_ppm8_chain": {"samples_per_s": round(ppm_sps, 1),
                                    **ppm_d},
             "config4_dbp_20x80": {"samples_per_s": round(dbp_sps, 1),

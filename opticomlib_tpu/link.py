@@ -538,6 +538,115 @@ class LinkProgram:
         return SimpleNamespace(ber=n_err / self.n_bits, n_errors=n_err,
                                threshold=float(rth), eye=Eye(out), tx=tx)
 
+    def dsp_ppm(self, M: int, decision: str = "soft", bits=None,
+                seed: int = 0, prbs_order: int = 15,
+                nslots: int = 8192, sps_resamp: Optional[int] = None):
+        """Fully-fused M-PPM receiver: chain -> decision -> decode -> BER,
+        one XLA program (device twin of ``models.ppm.DSP`` +
+        ``BER_analizer('counter')``, reference ppm.py:309-415, 419-577).
+
+        The link's input sequence is the M-slot one-hot stream (so the
+        program is built with ``n_bits = n_symbols * M`` slots); ``bits``
+        here are the *information* bits (``n_symbols * log2(M)`` of them,
+        PRBS by default), host-encoded once with ``PPM_ENCODER``.
+
+        * ``decision="soft"``: mid-slot subsample -> per-symbol argmax
+          (``sdd_positions_jax``).
+        * ``decision="hard"``: device GET_EYE -> KDE threshold (falling
+          back to the M-PPM log-space THRESHOLD_EST scan where the KDE
+          fails) -> slicer -> keyed-random HDD repair
+          (``hdd_positions_jax``) — the reference's ``np.random`` symbol
+          repair becomes a per-slot keyed uniform score.
+
+        Decoded bits compare against the information bits in-graph; only
+        (n_errors, threshold, eye scalars) leave the device.
+        """
+        from .eyediag import Eye
+        from .models.ppm import (PPM_ENCODER, hdd_positions_jax,
+                                 positions_to_bits_jax, sdd_positions_jax)
+
+        decision = decision.lower()
+        if decision not in ("soft", "hard"):
+            raise ValueError('`decision` must be "hard" or "soft"')
+        if M & (M - 1) != 0 or M < 2:
+            raise ValueError("`M` must be a power of 2.")
+        if self.n_bits % M != 0:
+            raise ValueError(
+                f"link carries {self.n_bits} slots, not a multiple of M={M}")
+        k = int(math.log2(M))
+        n_sym = self.n_bits // M
+
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=n_sym * k)
+            bits = b
+        tx = BinarySequence(bits)
+        if tx.size != n_sym * k:
+            raise ValueError(
+                f"need {n_sym * k} information bits for {n_sym} symbols "
+                f"of M={M}, got {tx.size}")
+        slots_tx = PPM_ENCODER(tx, M)
+
+        key = (M, decision, nslots, sps_resamp)
+        cache = getattr(self, "_dsp_ppm_jitted", None)
+        if cache is None:
+            cache = self._dsp_ppm_jitted = {}
+        if key not in cache:
+            sps = self.params.sps
+            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
+
+            def prog(slots_f32, info_bits_f32, seed_u32, consts):
+                v, slot_samp = self.fn(slots_f32, seed_u32, consts)[:2]
+                if decision == "soft":
+                    pos = sdd_positions_jax(slot_samp, M)
+                    m, rth = {}, jnp.nan
+                else:
+                    m = eye_metrics_jax(v, sps=sps, nslots=nslots,
+                                        sps_resamp=sps_resamp)
+                    for tk in trace_keys:
+                        m.pop(tk, None)
+                    # M-PPM THRESHOLD_EST (reference ppm.py:261-305) in log
+                    # space: argmin 1 - Q((r-mu1)/s1)*(1-Q((r-mu0)/s0))^(M-1)
+                    # == argmax log Q((r-mu1)/s1) + (M-1) log(1-Q((r-mu0)/s0))
+                    # with log Q(x) = log_ndtr(-x) and 1-Q(x) = ndtr(x).
+                    r = jnp.linspace(m["mu0"], m["mu1"], 1000)
+                    log_a = (jax.scipy.special.log_ndtr(
+                                (m["mu1"] - r) / m["s1"])
+                             + (M - 1) * jax.scipy.special.log_ndtr(
+                                (r - m["mu0"]) / m["s0"]))
+                    rth_scan = r[jnp.argmax(log_a)]
+                    rth = jnp.where(jnp.isnan(m["threshold"]), rth_scan,
+                                    m["threshold"])
+                    on = (jnp.real(slot_samp) > rth).astype(jnp.float32)
+                    k_hdd = jax.random.fold_in(
+                        jax.random.PRNGKey(seed_u32), 0x504D)
+                    pos = hdd_positions_jax(on, M, k_hdd)
+                rx_bits = positions_to_bits_jax(pos, M)
+                n_err = jnp.sum(rx_bits != info_bits_f32.astype(jnp.uint8))
+                return m, rth, n_err
+
+            cache[key] = jax.jit(prog)
+
+        m, rth, n_err = jax.device_get(cache[key](
+            jnp.asarray(slots_tx.to_numpy(np.float32)),
+            jnp.asarray(tx.to_numpy(np.float32)),
+            jnp.uint32(seed), self.consts))
+        n_err = int(n_err)
+        eye_obj = None
+        if m:
+            out = {kk: (vv.item() if isinstance(vv, np.ndarray)
+                        and vv.ndim == 0 else vv) for kk, vv in m.items()}
+            for kk in ("threshold", "y_left", "y_right"):
+                if out.get(kk) is not None and np.isnan(out[kk]):
+                    out[kk] = None
+            out["dt"] = 1.0 / self.params.fs
+            eye_obj = Eye(out)
+        rth = float(rth)
+        return SimpleNamespace(
+            ber=n_err / tx.size, n_errors=n_err,
+            threshold=(None if np.isnan(rth) else rth),
+            eye=eye_obj, tx=tx, slots_tx=slots_tx, M=M, decision=decision)
+
 
 def build_link(spec: LinkSpec, n_bits: int,
                params: Optional[SimParams] = None,

@@ -20,7 +20,47 @@ from ..signals import Array_Like, BinarySequence, ElectricalSignal
 from ..utils.analysis import Q, dec2bin_array, str2array, tic, toc
 
 __all__ = ["PPM_ENCODER", "PPM_DECODER", "HDD", "SDD", "THRESHOLD_EST",
-           "DSP", "BER_analizer", "theory_BER"]
+           "DSP", "BER_analizer", "theory_BER",
+           "sdd_positions_jax", "hdd_positions_jax", "positions_to_bits_jax"]
+
+
+# ---------------------------------------------------------------------------
+# Device-side decision kernels (jittable; used by link.LinkProgram.dsp_ppm)
+# ---------------------------------------------------------------------------
+def sdd_positions_jax(slot_samples, M: int):
+    """Soft decision on device: per-symbol argmax of the 1-sample-per-slot
+    waveform (device twin of :func:`SDD`, reference ppm.py:248-253).
+    Returns ``(n_sym,)`` int32 ON-slot positions."""
+    import jax.numpy as jnp
+    sym = jnp.real(slot_samples).reshape(-1, M)
+    return jnp.argmax(sym, axis=-1).astype(jnp.int32)
+
+
+def hdd_positions_jax(on_slots, M: int, key):
+    """Hard-decision symbol repair on device (device twin of :func:`HDD`,
+    reference ppm.py:184-190, with ``jax.random`` keys instead of
+    ``np.random``).
+
+    One expression covers all three cases: score every slot with a keyed
+    uniform draw plus 1 if the slicer called it ON, then take the per-symbol
+    argmax — a symbol with several ON slots keeps a uniformly random one,
+    a single-ON symbol keeps its slot, and a zero-ON symbol raises a
+    uniformly random slot.  Returns ``(n_sym,)`` int32 positions."""
+    import jax
+    import jax.numpy as jnp
+    on = on_slots.reshape(-1, M)
+    r = jax.random.uniform(key, on.shape, dtype=jnp.float32)
+    score = r + on.astype(jnp.float32)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def positions_to_bits_jax(positions, M: int):
+    """ON-slot positions -> MSB-first information bits (device twin of
+    :func:`PPM_DECODER` + ``dec2bin_array``, reference ppm.py:83-125)."""
+    import jax.numpy as jnp
+    k = int(np.log2(M))
+    shifts = jnp.arange(k - 1, -1, -1)
+    return ((positions[:, None] >> shifts) & 1).ravel().astype(jnp.uint8)
 
 
 def _as_bits(input) -> np.ndarray:

@@ -71,6 +71,32 @@ __all__ = ["FiberSpec", "EDFASpec", "LinkSpec", "LinkProgram", "build_link"]
 # ---------------------------------------------------------------------------
 # channel stage specs
 # ---------------------------------------------------------------------------
+_EYE_TRACE_KEYS = ("y", "t", "y_top", "y_bot", "y_25_75")
+
+
+def _ook_rx_ingraph(v, slots, bits_f32, sps, nslots, sps_resamp,
+                    trace_keys=_EYE_TRACE_KEYS):
+    """In-graph OOK receiver: GET_EYE reductions -> THRESHOLD_EST ->
+    slicer -> error count (device twin of models.ook.DSP +
+    BER_analizer('counter'), reference ook.py:22-60, 63-132, 135-218).
+    Shared by LinkProgram.dsp and LinkProgram.dsp_wdm (vmapped there)."""
+    m = eye_metrics_jax(v, sps=sps, nslots=nslots, sps_resamp=sps_resamp)
+    for k in trace_keys:
+        m.pop(k, None)
+    # THRESHOLD_EST (reference ook.py:22-60).  The scan runs in log
+    # space — float32 Q underflows to a flat zero basin at high SNR,
+    # which would degenerate the argmin; log(Q(x)) = log_ndtr(-x) stays
+    # resolved arbitrarily deep, and argmin log(Q1+Q0) == argmin
+    # 0.5*(Q1+Q0).
+    r = jnp.linspace(m["mu0"], m["mu1"], 1000)
+    lq1 = jax.scipy.special.log_ndtr(-(m["mu1"] - r) / m["s1"])
+    lq0 = jax.scipy.special.log_ndtr(-(r - m["mu0"]) / m["s0"])
+    rth = r[jnp.argmin(jnp.logaddexp(lq1, lq0))]
+    rx = slots.real > rth
+    n_err = jnp.sum(rx != (bits_f32 > 0.5))
+    return m, rth, n_err
+
+
 @dataclass(frozen=True)
 class FiberSpec:
     """One fiber span (same physics as :func:`opticomlib_tpu.devices.FIBER`,
@@ -502,26 +528,11 @@ class LinkProgram:
             cache = self._dsp_jitted = {}
         if key not in cache:
             sps = self.params.sps
-            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
 
             def prog(bits_f32, seed_u32, consts):
                 v, slots = self.fn(bits_f32, seed_u32, consts)[:2]
-                m = eye_metrics_jax(v, sps=sps, nslots=nslots,
-                                    sps_resamp=sps_resamp)
-                for k in trace_keys:
-                    m.pop(k, None)
-                # THRESHOLD_EST (reference ook.py:22-60).  The scan runs in
-                # log space — float32 Q underflows to a flat zero basin at
-                # high SNR, which would degenerate the argmin; log(Q(x)) =
-                # log_ndtr(-x) stays resolved arbitrarily deep, and
-                # argmin log(Q1+Q0) == argmin 0.5*(Q1+Q0).
-                r = jnp.linspace(m["mu0"], m["mu1"], 1000)
-                lq1 = jax.scipy.special.log_ndtr(-(m["mu1"] - r) / m["s1"])
-                lq0 = jax.scipy.special.log_ndtr(-(r - m["mu0"]) / m["s0"])
-                rth = r[jnp.argmin(jnp.logaddexp(lq1, lq0))]
-                rx = slots.real > rth
-                n_err = jnp.sum(rx != (bits_f32 > 0.5))
-                return m, rth, n_err
+                return _ook_rx_ingraph(v, slots, bits_f32, sps,
+                                       nslots, sps_resamp)
 
             cache[key] = jax.jit(prog)
 
@@ -646,6 +657,77 @@ class LinkProgram:
             ber=n_err / tx.size, n_errors=n_err,
             threshold=(None if np.isnan(rth) else rth),
             eye=eye_obj, tx=tx, slots_tx=slots_tx, M=M, decision=decision)
+
+    def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
+                prbs_order: int = 15, nslots: int = 8192,
+                sps_resamp: Optional[int] = None, mesh=None,
+                axis: str = "wdm"):
+        """WDM sweep with per-channel receivers: ``n_channels`` independent
+        TX->RX chains + OOK DSP, vmapped into ONE XLA program (BASELINE
+        config 5 as a first-class API).
+
+        Channel ``c`` runs the chain with its own bits (row ``c`` of
+        ``bits``, default: consecutive PRBS segments) and its own key
+        stream (``seed + c`` — identical to ``prog.dsp(seed=seed + c)``).
+        The per-channel receiver is the same in-graph GET_EYE ->
+        THRESHOLD_EST -> slicer -> BER reduction as :meth:`dsp`; readback
+        is (n_channels,) vectors of scalars.
+
+        Pass ``mesh`` (a ``jax.sharding.Mesh`` with a ``axis`` dimension,
+        e.g. ``Mesh(jax.devices(), ('wdm',))``) to shard the channel axis
+        across chips: inputs are placed with
+        ``NamedSharding(mesh, P('wdm'))`` and XLA partitions the whole
+        vmapped program channel-parallel — the channel dimension is
+        embarrassingly parallel (SURVEY §2.6: the DP analogue), so no
+        collectives are needed until the scalar gather at the end.
+        """
+        if n_channels < 1:
+            raise ValueError("n_channels must be >= 1")
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=n_channels * self.n_bits)
+            bits = b.reshape(n_channels, self.n_bits)
+        bits = np.asarray(bits)
+        if bits.shape != (n_channels, self.n_bits):
+            raise ValueError(
+                f"bits must have shape {(n_channels, self.n_bits)}, "
+                f"got {bits.shape}")
+
+        key = (n_channels, nslots, sps_resamp,
+               None if mesh is None else (tuple(mesh.axis_names),
+                                          mesh.devices.shape))
+        cache = getattr(self, "_dsp_wdm_jitted", None)
+        if cache is None:
+            cache = self._dsp_wdm_jitted = {}
+        if key not in cache:
+            sps = self.params.sps
+
+            def one(bits_c, seed_c, consts):
+                v, slots = self.fn(bits_c, seed_c, consts)[:2]
+                m, rth, n_err = _ook_rx_ingraph(v, slots, bits_c, sps,
+                                                nslots, sps_resamp)
+                return (m["mu0"], m["mu1"], m["s0"], m["s1"], m["er"],
+                        m["eye_h"], rth, n_err)
+
+            cache[key] = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+
+        bits_dev = jnp.asarray(bits.astype(np.float32))
+        seeds = jnp.uint32(np.arange(n_channels, dtype=np.uint32)
+                           + np.uint32(seed))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bits_dev = jax.device_put(
+                bits_dev, NamedSharding(mesh, P(axis, None)))
+            seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
+
+        mu0, mu1, s0, s1, er, eye_h, rth, n_err = (
+            np.asarray(a) for a in jax.device_get(
+                cache[key](bits_dev, seeds, self.consts)))
+        n_err = n_err.astype(np.int64)
+        return SimpleNamespace(
+            ber=n_err / self.n_bits, n_errors=n_err, threshold=rth,
+            mu0=mu0, mu1=mu1, s0=s0, s1=s1, er=er, eye_h=eye_h,
+            n_channels=n_channels, tx=bits.astype(np.uint8))
 
 
 def build_link(spec: LinkSpec, n_bits: int,

@@ -1,0 +1,103 @@
+"""WDM sweep with per-channel fused receivers (LinkProgram.dsp_wdm):
+vmapped channels == per-channel dsp(); mesh-sharded == unsharded
+(BASELINE config 5 as a public API)."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from opticomlib_tpu import gv
+from opticomlib_tpu.link import LinkSpec, build_link
+from opticomlib_tpu.ops.prbs import prbs as _prbs
+
+SPS, R, NBITS, NCH = 16, 10e9, 2**9, 4
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    gv.default()
+    gv(sps=SPS, R=R, N=NBITS, Vpi=5)
+    yield
+    gv.default()
+
+
+def _prog(n_bits=NBITS, **kw):
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=-18,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                pd_BW=0.75 * R, include_thermal=True, include_shot=False)
+    base.update(kw)
+    return build_link(LinkSpec(**base), n_bits=n_bits)
+
+
+class TestWDMSweep:
+    def test_channel_waveforms_match_per_channel_runs(self):
+        """Channel c of the vmapped chain draws the same keyed noise as a
+        single-channel run with seed+c — the waveforms match to f32
+        rounding (the batched FFT schedules differently than the 1-D
+        one, so bitwise equality is not expected)."""
+        import jax.numpy as jnp
+        prog = _prog(P0=-22)
+        b, _ = _prbs(15, length=NCH * NBITS)
+        bits = b.reshape(NCH, NBITS).astype(np.float32)
+        vmapped = jax.jit(jax.vmap(lambda bb, ss, cc: prog.fn(bb, ss, cc)[0],
+                                   in_axes=(0, 0, None)))
+        v_all = np.asarray(vmapped(
+            jnp.asarray(bits),
+            jnp.uint32(11 + np.arange(NCH, dtype=np.uint32)), prog.consts))
+        for c in range(NCH):
+            v_c = np.asarray(prog.jitted(jnp.asarray(bits[c]),
+                                         jnp.uint32(11 + c))[0])
+            scale = np.abs(v_c).max()
+            np.testing.assert_allclose(v_all[c], v_c, atol=2e-5 * scale,
+                                       err_msg=str(c))
+
+    def test_channels_track_per_channel_dsp(self):
+        """Receiver outputs track prog.dsp(seed=seed+c): BER to
+        boundary-flip tolerance, eye stats loosely (the blind metrology
+        cascade — level split, crossing band, t_opt snap — amplifies f32
+        batching differences into percent-level stat shifts at low SNR)."""
+        prog = _prog(P0=-22)  # ~1e-1 BER: plenty of errors per channel
+        b, _ = _prbs(15, length=NCH * NBITS)
+        bits = b.reshape(NCH, NBITS)
+        sweep = prog.dsp_wdm(NCH, bits=bits, seed=11)
+        assert sweep.ber.shape == (NCH,)
+        for c in range(NCH):
+            d = prog.dsp(bits=bits[c], seed=11 + c)
+            assert d.ber > 0
+            assert sweep.ber[c] == pytest.approx(d.ber, abs=0.02), c
+            assert sweep.threshold[c] == pytest.approx(d.threshold,
+                                                       rel=0.1), c
+            assert sweep.mu1[c] == pytest.approx(d.eye.mu1, rel=0.05), c
+
+    def test_mesh_sharded_matches_unsharded(self):
+        """8 channels sharded over the 8-device CPU mesh == vmapped on one
+        device (channel axis is embarrassingly parallel)."""
+        prog = _prog()
+        n_ch = 8
+        b, _ = _prbs(15, length=n_ch * NBITS)
+        bits = b.reshape(n_ch, NBITS)
+        plain = prog.dsp_wdm(n_ch, bits=bits, seed=3)
+        mesh = Mesh(np.array(jax.devices()), ("wdm",))
+        sharded = prog.dsp_wdm(n_ch, bits=bits, seed=3, mesh=mesh)
+        np.testing.assert_array_equal(sharded.n_errors, plain.n_errors)
+        np.testing.assert_allclose(sharded.threshold, plain.threshold,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(sharded.mu1, plain.mu1, rtol=1e-6)
+
+    def test_default_bits_are_distinct_per_channel(self):
+        prog = _prog()
+        sweep = prog.dsp_wdm(NCH, seed=0)
+        assert sweep.tx.shape == (NCH, NBITS)
+        assert any((sweep.tx[0] != sweep.tx[c]).any() for c in range(1, NCH))
+
+    def test_noiseless_all_channels_error_free(self):
+        prog = _prog(P0=5, include_thermal=False)
+        sweep = prog.dsp_wdm(NCH, seed=0)
+        assert (sweep.n_errors == 0).all()
+
+    def test_validation(self):
+        prog = _prog()
+        with pytest.raises(ValueError):
+            prog.dsp_wdm(0)
+        with pytest.raises(ValueError):
+            prog.dsp_wdm(NCH, bits=np.zeros((NCH, NBITS - 1)))

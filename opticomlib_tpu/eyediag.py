@@ -110,7 +110,6 @@ class Eye:
         import matplotlib.pyplot as plt
         from contextlib import nullcontext
         from scipy.ndimage import gaussian_filter
-        from scipy.special import expit
 
         show_options = show_options or EyeShowOptions()
         hlines = hlines or []
@@ -208,59 +207,65 @@ class Eye:
                                   labelleft=False)
                 ax[1].grid(color="grey", ls="--", lw=0.5, alpha=0.5)
 
-            # density rendering (reference typing.py:2717-2788)
+            # --- density rendering ---
+            # Fold the trace into two-slot windows (drop the half-slot
+            # roll-in/out so every window is complete) and rasterize an
+            # occupancy map on a 256x256 grid — enough that one grid cell
+            # is well below a slot width at any plot size.
             sps = int(self.sps)
             y_ = np.roll(np.asarray(self.y), -sps // 2)[sps // 2:-sps // 2]
             t_ = np.asarray(self.t)[:-sps]
 
-            N = 350
-            heatmap, xedges, yedges = np.histogram2d(t_, y_, bins=N)
-            heatmap_smooth = gaussian_filter(heatmap, sigma=3)
+            NB = 256
+            occ, te, ye = np.histogram2d(t_, y_, bins=NB)
+            occ_s = gaussian_filter(occ, sigma=NB / 128)  # ~2-cell blur
 
             if smooth:
-                extent = [xedges[0], xedges[-1], yedges[0], yedges[-1]]
-                vmin, vmax = heatmap.min(), heatmap.max()
-                alpha_values = expit(
-                    (heatmap_smooth - (vmin + 0.05 * (vmax - vmin)))
-                    * 100 / (vmax - vmin)).T * 0.8
-                ax[0].imshow(heatmap_smooth.T, extent=extent,
-                             origin="lower", aspect="auto",
-                             alpha=alpha_values, cmap=cmap,
-                             interpolation="bicubic", resample=True)
+                # Translucency tracks the density itself: transparent
+                # where no trace passes, opaque from the 99.5th-percentile
+                # occupancy up (so a few hot crossing pixels don't wash
+                # out the rails); sqrt response lifts the faint tails.
+                pos = occ_s[occ_s > 0]
+                hi = np.quantile(pos, 0.995) if pos.size else 1.0
+                a_map = np.sqrt(np.clip(occ_s / max(hi, 1e-30), 0.0, 1.0))
+                ax[0].imshow(occ_s.T, origin="lower", aspect="auto",
+                             extent=(te[0], te[-1], ye[0], ye[-1]),
+                             alpha=a_map.T, cmap=cmap,
+                             interpolation="bilinear")
             else:
+                # per-trace polylines, colored by the occupancy under each
+                # segment midpoint — all traces in ONE LineCollection
                 from matplotlib.collections import LineCollection
 
-                t_norm = (t_ - t_.min()) / (t_.max() - t_.min())
-                y_norm = (y_ - y_.min()) / (y_.max() - y_.min())
-                it = np.clip((t_norm * (N - 1)).astype(int), 0, N - 1)
-                iy = np.clip((y_norm * (N - 1)).astype(int), 0, N - 1)
-                color_values = heatmap_smooth[it, iy]
-                color_values = (color_values - color_values.min()) \
-                    / (color_values.max() - color_values.min())
-                tt = t_[:2 * sps]
-                n_traces = len(y_) // (2 * sps)
-                Y2 = y_[:n_traces * 2 * sps].reshape(-1, 2 * sps)
-                C2 = color_values[:n_traces * 2 * sps].reshape(-1, 2 * sps)
-                for c, yy in zip(C2, Y2):
-                    points = np.array([tt, yy]).T.reshape(-1, 1, 2)
-                    segments = np.concatenate([points[:-1], points[1:]],
-                                              axis=1)
-                    colors = getattr(plt.cm, cmap)(c[:-1])
-                    lc = LineCollection(segments, colors=colors,
-                                        linewidth=1, alpha=0.05)
-                    ax[0].add_collection(lc)
+                win = 2 * sps
+                ntr = y_.size // win
+                tt = t_[:win]
+                Y = y_[:ntr * win].reshape(ntr, win)
+                tm = np.broadcast_to(0.5 * (tt[:-1] + tt[1:]),
+                                     (ntr, win - 1))
+                ym = 0.5 * (Y[:, :-1] + Y[:, 1:])
+                it = np.clip(np.searchsorted(te, tm) - 1, 0, NB - 1)
+                iy = np.clip(np.searchsorted(ye, ym) - 1, 0, NB - 1)
+                c = occ_s[it, iy]
+                c = c / c.max() if c.max() > 0 else c
+                pts = np.stack([np.broadcast_to(tt, Y.shape), Y], axis=-1)
+                segs = np.stack([pts[:, :-1], pts[:, 1:]],
+                                axis=2).reshape(-1, 2, 2)
+                ax[0].add_collection(LineCollection(
+                    segs, colors=plt.get_cmap(cmap)(c.ravel()),
+                    linewidth=1, alpha=0.06))
 
             if show_options.histogram:
-                if smooth:
-                    ax[1].plot(heatmap_smooth[170:180].sum(axis=0),
-                               np.linspace(y_.min(), y_.max(), N),
-                               color=t_opt_color)
-                else:
-                    sel = ((t_ > self.t_opt - 0.05 * self.t_dist)
-                           & (t_ < self.t_opt + 0.05 * self.t_dist))
-                    ax[1].hist(y_[sel], bins=200, density=True,
-                               orientation="horizontal", color=t_opt_color,
-                               alpha=0.9, histtype="step")
+                # amplitude histogram of the samples inside the optimum
+                # decision window |t - t_opt| <= 5% of the crossing
+                # distance (the window GET_EYE derives mu/sigma from)
+                t_opt = self.t_opt if self.t_opt is not None else 0.5
+                t_dist = self.t_dist if self.t_dist is not None else 1.0
+                sel = np.abs(t_ - t_opt) <= 0.05 * t_dist
+                hy, _ = np.histogram(y_[sel], bins=ye)
+                hy = gaussian_filter(hy.astype(float), sigma=NB / 128)
+                ax[1].plot(hy, 0.5 * (ye[:-1] + ye[1:]),
+                           color=t_opt_color)
 
             if savefig:
                 if savefig.endswith(".png"):

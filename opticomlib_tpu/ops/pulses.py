@@ -49,47 +49,43 @@ def gauss_pulse(span: int, sps: int, T: float = 1, m: int = 1,
 def rcos_pulse(beta: float, span: int, sps: int,
                shape: str = "sqrt") -> np.ndarray:
     """Raised-cosine / root-raised-cosine impulse response (MATLAB
-    ``rcosdesign`` semantics, incl. singularity handling)."""
+    ``rcosdesign`` semantics; behavioral spec: reference utils.py:1791-1878).
+
+    Evaluated through singularity-free sinc identities instead of the
+    textbook rational forms, so no limit special-casing is needed anywhere
+    (``np.sinc`` handles its own removable zero):
+
+    * **RC.**  ``cos(pi b t) / (1 - (2 b t)^2)`` decomposes by partial
+      fractions into ``(pi/4) * [sinc(b t + 1/2) + sinc(b t - 1/2)]``,
+      giving ``h(t) = sinc(t) * (pi/4) * [sinc(bt+1/2) + sinc(bt-1/2)]``.
+    * **RRC.**  Integrating the square-root spectrum
+      (flat to ``(1-b)/2``, cosine roll-off to ``(1+b)/2``) band by band
+      and folding the roll-off integrals with product-to-sum identities
+      yields ``h(t) = (1-b) sinc((1-b) t)
+      + b [sinc(bt - 1/4) cos(pi t - pi/4) - sinc(bt + 1/4) sin(pi t - pi/4)]``.
+
+    Both collapse to ``sinc(t)`` at ``beta = 0`` with no branch, and agree
+    with the rational forms (and their L'Hopital limits at ``t = 0``,
+    ``1/(2 beta)``, ``1/(4 beta)``) to float64 round-off.
+    """
     if not (0 <= beta <= 1):
         raise ValueError("beta must be in [0, 1]")
-    if shape.lower() not in ("sqrt", "normal"):
+    shape = shape.lower()
+    if shape not in ("sqrt", "normal"):
         raise ValueError("shape must be 'sqrt' or 'normal'")
 
-    N = span * sps
-    t = np.linspace(-span / 2, span / 2, N + 1)
-
+    t = np.linspace(-span / 2, span / 2, span * sps + 1)
     if beta == 0:
         return np.sinc(t)
 
-    if shape.lower() == "normal":
-        sinc_t = np.sinc(t)
-        cos_t = np.cos(np.pi * beta * t)
-        den = 1 - (2 * beta * t) ** 2
-        p = np.divide(sinc_t * cos_t, den, out=np.zeros_like(den),
-                      where=den != 0)
-        sing = np.abs(den) < 1e-8
-        if np.any(sing):
-            p[sing] = (np.pi / 4) * np.sinc(1 / (2 * beta))
-        return p
+    if shape == "normal":
+        return (np.sinc(t) * (np.pi / 4)
+                * (np.sinc(beta * t + 0.5) + np.sinc(beta * t - 0.5)))
 
-    # root raised cosine
-    t_abs = np.abs(t)
-    p = np.zeros_like(t)
-    mask_zero = t_abs < 1e-8
-    p[mask_zero] = (1 - beta) + 4 * beta / np.pi
-    t_sing = 1 / (4 * beta)
-    mask_sing = np.abs(t_abs - t_sing) < 1e-8
-    if np.any(mask_sing):
-        p[mask_sing] = (beta / np.sqrt(2)) * (
-            (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
-            + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta)))
-    mask = ~mask_zero & ~mask_sing
-    ti = t[mask]
-    num = (np.sin(np.pi * ti * (1 - beta))
-           + 4 * beta * ti * np.cos(np.pi * ti * (1 + beta)))
-    den = np.pi * ti * (1 - (4 * beta * ti) ** 2)
-    p[mask] = num / den
-    return p
+    a = np.pi * t - np.pi / 4
+    return ((1 - beta) * np.sinc((1 - beta) * t)
+            + beta * (np.sinc(beta * t - 0.25) * np.cos(a)
+                      - np.sinc(beta * t + 0.25) * np.sin(a)))
 
 
 # ---------------------------------------------------------------------------

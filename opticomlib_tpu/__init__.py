@@ -50,6 +50,11 @@ from . import link     # noqa: E402
 from . import ook      # noqa: E402
 from . import ppm      # noqa: E402
 from . import rng      # noqa: E402
+from .runtime.cache import enable_cache, cache_dir  # noqa: E402
+from .runtime.cache import _maybe_enable_from_env as _cache_env  # noqa: E402
+
+_cache_env()
+del _cache_env
 
 __version__ = "0.1.0"
 
@@ -76,7 +81,7 @@ __all__ = [
     "DEBUG", "INFO", "WARNING",
     "c", "e", "h", "kB", "pi",
     "fft", "ifft", "fftfreq", "fftshift", "ifftshift",
-    "sizeof",
+    "sizeof", "enable_cache", "cache_dir",
 ]
 
 

@@ -57,13 +57,14 @@ import numpy as np
 from scipy.constants import e, h as h_planck, k as kB, pi
 
 from .ops import filters, pulses, ssfm
-from .ops.eyeana import eye_metrics_jax
+from .ops.eyeana import _shortest_int_masked, eye_metrics_jax
 from .ops.noise import gaussian_inside, wiener_phase_inside
 from .params import SimParams, gv
 from .signals import BinarySequence, ElectricalSignal
 from .utils.analysis import idb, idbm
 
-__all__ = ["FiberSpec", "EDFASpec", "LinkSpec", "LinkProgram", "build_link"]
+__all__ = ["FiberSpec", "DBPSpec", "EDFASpec", "DMSpec", "BPFSpec",
+           "RepeatSpec", "LinkSpec", "LinkProgram", "build_link"]
 
 
 
@@ -109,12 +110,90 @@ class FiberSpec:
     phi_max: float = 0.01         # adaptive max NL phase [rad]
     h: Optional[float] = None     # fixed step [km]; None -> adaptive
 
+    def __post_init__(self):
+        if self.length <= 0:
+            raise ValueError("FiberSpec.length must be > 0 km")
+        if self.phi_max <= 0:
+            raise ValueError("FiberSpec.phi_max must be > 0")
+        if self.h is not None and self.h <= 0:
+            raise ValueError("FiberSpec.h must be > 0 km (or None)")
+
+
+@dataclass(frozen=True)
+class DBPSpec(FiberSpec):
+    """Digital back-propagation span: the fiber physics with every operator
+    sign flipped (alpha -> -alpha, beta -> -beta, gamma -> -gamma; reference
+    devices.py:1280-1283), run as an in-graph receiver equalizer stage.
+
+    ``undo_gain_dB`` is removed from the field (divided out) *before* the
+    backward pass — set it to the span amplifier gain so per-span DBP
+    exactly inverts a FIBER+EDFA span at bounded power."""
+    undo_gain_dB: float = 0.0
+
 
 @dataclass(frozen=True)
 class EDFASpec:
-    """Flat-gain amplifier + ASE (reference devices.py:829-942)."""
+    """Flat-gain amplifier + ASE (reference devices.py:829-942).
+
+    ``NF=None`` disables the ASE draw — a pure field scale of
+    ``10^(G/20)`` (negative ``G`` = attenuator), useful for noiseless
+    studies and for gain bookkeeping around DBP stages.  ``BW`` adds the
+    reference EDFA's optional output band-pass (zero-phase Bessel
+    ``|H|^2``, reference devices.py:938-941)."""
     G: float                      # gain [dB]
-    NF: float                     # noise figure [dB]
+    NF: Optional[float] = None    # noise figure [dB]; None -> no ASE
+    BW: Optional[float] = None    # optional output optical filter [Hz]
+    filt_order: int = 4
+
+    def __post_init__(self):
+        if self.BW is not None and self.BW <= 0:
+            raise ValueError("EDFASpec.BW must be > 0 Hz (or None)")
+
+
+@dataclass(frozen=True)
+class DMSpec:
+    """Dispersive medium: frequency-domain phase ``H = exp(j*w^2*D/2)``
+    with ``D`` the accumulated GVD in [ps^2] (reference devices.py:945-1035).
+    ``D = -beta_2 * length`` compensates a fiber span exactly."""
+    D: float                      # accumulated dispersion [ps^2]
+
+
+@dataclass(frozen=True)
+class BPFSpec:
+    """Optical band-pass filter stage: zero-phase Bessel ``|H|^2`` with
+    full bandwidth ``BW`` (baseband low-pass equivalent, reference
+    devices.py:788-826)."""
+    BW: float                     # full optical bandwidth [Hz]
+    n: int = 4                    # filter order
+
+    def __post_init__(self):
+        if self.BW <= 0:
+            raise ValueError("BPFSpec.BW must be > 0 Hz")
+
+
+@dataclass(frozen=True)
+class RepeatSpec:
+    """``n`` repetitions of a stage block, lowered to ONE ``lax.scan`` over
+    the block (the 20x80 km configs compile one span body instead of 20
+    unrolled copies).  ASE keys inside the block are derived per iteration
+    with ``fold_in(block_key, span_index)``.
+
+    The field is promoted to 2 polarizations *before* the scan when the
+    block contains a noisy EDFA (the scan carry must be shape-invariant).
+    """
+    n: int
+    stages: Tuple = ()
+
+    def __post_init__(self):
+        if self.n < 1:
+            raise ValueError("RepeatSpec.n must be >= 1")
+        if not self.stages:
+            raise ValueError("RepeatSpec.stages must be non-empty")
+        for st in self.stages:
+            if isinstance(st, RepeatSpec):
+                raise ValueError("RepeatSpec cannot nest")
+            if not isinstance(st, (FiberSpec, EDFASpec, DMSpec, BPFSpec)):
+                raise ValueError(f"unsupported stage in RepeatSpec: {st!r}")
 
 
 @dataclass(frozen=True)
@@ -139,13 +218,15 @@ class LinkSpec:
     lw: Optional[float] = None            # linewidth [Hz]
     rin: Optional[float] = None           # RIN [dB/Hz]
     df: Optional[float] = None            # frequency offset [Hz]
-    # --- MZM (reference devices.py:620-785) ---
+    # --- modulator (MZM: reference devices.py:620-785; PM: 513-617) ---
+    modulator: str = "mzm"                # 'mzm' | 'pm'
     bias: float = 0.0
     Vpi: float = 5.0
     loss_dB: float = 0.0
     ER_dB: float = 26.0
     # --- channel ---
-    stages: Tuple[Union[FiberSpec, EDFASpec], ...] = ()
+    stages: Tuple[Union["FiberSpec", "EDFASpec", "DMSpec", "BPFSpec",
+                        "RepeatSpec"], ...] = ()
     # --- PD (reference devices.py:1378-1555) ---
     pd_BW: float = 7.5e9                  # electrical bandwidth [Hz]
     pd_r: float = 1.0                     # responsivity [A/W]
@@ -156,8 +237,40 @@ class LinkSpec:
     include_thermal: bool = True
     include_shot: bool = True
     lpf_order: int = 4
+    # --- ADC (optional in-graph quantization, reference devices.py:1558-1632)
+    adc_bits: Optional[int] = None        # None -> no quantization
     # --- sampling ---
     sampler_instant: Optional[int] = None  # default sps//2 (ook.DSP)
+
+    def __post_init__(self):
+        # Validate at construction — the staged devices validate heavily
+        # (e.g. DAC, reference devices.py:269-342); the flagship API must
+        # not defer a typo to a trace-time error deep in XLA.
+        if self.pulse_shape.lower() not in ("nrz", "gaussian", "rcos"):
+            raise ValueError(
+                f"pulse_shape must be 'nrz', 'gaussian' or 'rcos', got "
+                f"{self.pulse_shape!r}")
+        if self.coupling.strip().upper() not in ("AC", "DC"):
+            raise ValueError(
+                f"coupling must be 'AC' or 'DC', got {self.coupling!r}")
+        if self.modulator.lower() not in ("mzm", "pm"):
+            raise ValueError(
+                f"modulator must be 'mzm' or 'pm', got {self.modulator!r}")
+        if self.Vpi <= 0:
+            raise ValueError("Vpi must be > 0")
+        if self.pd_BW <= 0:
+            raise ValueError("pd_BW must be > 0 Hz")
+        if self.pulse_span < 1:
+            raise ValueError("pulse_span must be >= 1 slot")
+        if self.adc_bits is not None and not 1 <= int(self.adc_bits) <= 16:
+            raise ValueError("adc_bits must be in [1, 16] (or None)")
+        for st in self.stages:
+            if not isinstance(st, (FiberSpec, EDFASpec, DMSpec, BPFSpec,
+                                   RepeatSpec)):
+                raise ValueError(
+                    f"unsupported stage {st!r}; expected FiberSpec/DBPSpec/"
+                    "EDFASpec/DMSpec/BPFSpec/RepeatSpec")
+        dict(self.pulse_kwargs)  # must be (('key', val), ...) pairs
 
 
 # ---------------------------------------------------------------------------
@@ -247,31 +360,68 @@ class LinkProgram:
         g_scale = float(pi / 2 / spec.Vpi)
 
         w = 2 * np.pi * np.fft.fftfreq(n) * fs
-        fiber_consts = []
-        _phi_cache = {}  # identical (beta_2, beta_3) spans share one array
-        for i, st in enumerate(spec.stages):
-            if isinstance(st, FiberSpec):
-                bkey = (st.beta_2, st.beta_3)
-                if bkey not in _phi_cache:
-                    name = f"phi_w_{len(_phi_cache)}"
-                    consts[name] = jnp.asarray(ssfm.dispersion_phase(
-                        w, st.beta_2, st.beta_3))
-                    _phi_cache[bkey] = name
-                fiber_consts.append({
-                    "phi_name": _phi_cache[bkey],
+        _arr_cache = {}  # identical spectral arrays shared across stages
+
+        def _register(prefix: str, key, build):
+            key = (prefix,) + tuple(key)
+            if key not in _arr_cache:
+                name = f"{prefix}_{len(_arr_cache)}"
+                consts[name] = build()
+                _arr_cache[key] = name
+            return _arr_cache[key]
+
+        def _bpf_const(order: int, BW: float):
+            # optical BPF: full bandwidth BW -> low-pass cutoff BW/2
+            # (reference devices.py:818-822), zero-phase |H|^2
+            return _register("H2_bpf", (order, float(BW)), lambda:
+                             jnp.asarray(filters.bessel_filtfilt_response(
+                                 order, float(BW) / 2, fs, n)))
+
+        def _stage_const(st):
+            if isinstance(st, FiberSpec):  # incl. DBPSpec
+                cc = {
+                    "kind": "fiber",
+                    "sgn": -1.0 if isinstance(st, DBPSpec) else 1.0,
+                    "phi_name": _register(
+                        "phi_w", (st.beta_2, st.beta_3), lambda:
+                        jnp.asarray(ssfm.dispersion_phase(
+                            w, st.beta_2, st.beta_3))),
                     "a_km": ssfm.alpha_per_km(st.alpha),
                     "hs": (None if st.h is None else jnp.asarray(
                         ssfm.ssfm_step_schedule(st.length, st.h))),
                     "linear_only": (st.gamma == 0
                                     or (st.beta_2 == 0 and st.beta_3 == 0)),
-                })
-            else:
-                P_ase = idb(st.NF) * h_planck * params.f0 \
-                    * (idb(st.G) - 1) * fs
-                fiber_consts.append({
-                    "sqrtG": float(idb(st.G) ** 0.5),
-                    "sigma_ase": float(np.sqrt(P_ase / 4)),
-                })
+                }
+                if isinstance(st, DBPSpec) and st.undo_gain_dB:
+                    cc["pre_scale"] = float(idb(-st.undo_gain_dB) ** 0.5)
+                return cc
+            if isinstance(st, EDFASpec):
+                cc = {"kind": "edfa", "sqrtG": float(idb(st.G) ** 0.5)}
+                if st.NF is not None:
+                    if st.G <= 0:
+                        raise ValueError(
+                            "EDFASpec with ASE (NF set) needs G > 0 dB")
+                    P_ase = idb(st.NF) * h_planck * params.f0 \
+                        * (idb(st.G) - 1) * fs
+                    cc["sigma_ase"] = float(np.sqrt(P_ase / 4))
+                if st.BW is not None:
+                    cc["H2_name"] = _bpf_const(st.filt_order, st.BW)
+                return cc
+            if isinstance(st, DMSpec):
+                return {"kind": "dm", "phi_name": _register(
+                    "phi_dm", (st.D,), lambda: jnp.asarray(
+                        ((w * 1e-12) ** 2 * st.D / 2).astype(np.float32)))}
+            if isinstance(st, BPFSpec):
+                return {"kind": "bpf", "H2_name": _bpf_const(st.n, st.BW)}
+            if isinstance(st, RepeatSpec):
+                return {"kind": "repeat", "n": st.n,
+                        "sub": tuple(_stage_const(s) for s in st.stages),
+                        "needs_ase": any(
+                            isinstance(s, EDFASpec) and s.NF is not None
+                            for s in st.stages)}
+            raise ValueError(f"unsupported stage {st!r}")
+
+        stage_consts = [_stage_const(st) for st in spec.stages]
 
         S_T = (4 * kB * spec.pd_T * fs / 2 * idb(spec.pd_Fn) / spec.pd_R_load
                if spec.include_thermal else 0.0)
@@ -281,7 +431,8 @@ class LinkProgram:
 
         instant = (spec.sampler_instant if spec.sampler_instant is not None
                    else sps // 2)
-        ac = spec.coupling.upper() == "AC"
+        ac = spec.coupling.strip().upper() == "AC"
+        is_pm = spec.modulator.lower() == "pm"
         stages = spec.stages
 
         # ---- the fused program ----
@@ -322,43 +473,111 @@ class LinkProgram:
             else:
                 E = jnp.broadcast_to(amp, (n,)).astype(jnp.complex64)
 
-            # --- MZM (reference devices.py:762-768) ---
-            g = jnp.float32(g_scale) * (x + jnp.float32(spec.bias))
-            h_t = jnp.float32(loss_amp) * jax.lax.complex(
-                jnp.cos(g), jnp.float32(eta_half) * jnp.sin(g))
-            field = E * h_t  # (n,) complex64
+            # --- modulator ---
+            if is_pm:
+                # phase modulator: E*exp(j*pi*u/Vpi) (reference
+                # devices.py:513-617); bias/loss/ER do not apply
+                g = jnp.float32(pi / spec.Vpi) * x
+                field = E * jax.lax.complex(jnp.cos(g), jnp.sin(g))
+            else:
+                # MZM (reference devices.py:762-768)
+                g = jnp.float32(g_scale) * (x + jnp.float32(spec.bias))
+                h_t = jnp.float32(loss_amp) * jax.lax.complex(
+                    jnp.cos(g), jnp.float32(eta_half) * jnp.sin(g))
+                field = E * h_t  # (n,) complex64
 
             # --- channel stages ---
-            for st, cc in zip(stages, fiber_consts):
-                if isinstance(st, FiberSpec):
-                    phi_w = consts[cc["phi_name"]]
-                    if cc["linear_only"] and cc["hs"] is None:
-                        hs1 = jnp.asarray([st.length], dtype=jnp.float32)
-                        field = ssfm.ssfm_scan_inside(
-                            field, phi_w, hs1, st.gamma, cc["a_km"])
-                    elif cc["hs"] is not None:
-                        field = ssfm.ssfm_scan_inside(
-                            field, phi_w, cc["hs"], st.gamma, cc["a_km"])
+            def promote_2pol(f):
+                if f.ndim == 1:
+                    return jnp.stack([f, jnp.zeros_like(f)])
+                return f
+
+            def apply_fiber(f, st, cc):
+                """Forward span, or (DBPSpec: sgn=-1) the sign-flipped
+                back-propagation pass (reference devices.py:1280-1283)."""
+                if "pre_scale" in cc:
+                    f = f * jnp.float32(cc["pre_scale"])
+                sgn = cc["sgn"]
+                phi_w = consts[cc["phi_name"]]
+                if sgn < 0:
+                    phi_w = -phi_w  # loop-invariant; XLA hoists it
+                g_nl = sgn * st.gamma
+                a_lin = sgn * cc["a_km"]
+                if cc["linear_only"] and cc["hs"] is None:
+                    hs1 = jnp.asarray([st.length], dtype=jnp.float32)
+                    return ssfm.ssfm_scan_inside(f, phi_w, hs1, g_nl, a_lin)
+                if cc["hs"] is not None:
+                    return ssfm.ssfm_scan_inside(f, phi_w, cc["hs"], g_nl,
+                                                 a_lin)
+                maxP0 = jnp.max(f.real**2 + f.imag**2)
+                h0 = jnp.minimum(
+                    jnp.float32(st.phi_max)
+                    / (jnp.abs(jnp.float32(g_nl)) * maxP0),
+                    jnp.float32(st.length))
+                f, _ = ssfm.ssfm_while_inside(
+                    f, phi_w, st.length, g_nl, st.phi_max, h0, a_lin,
+                    adaptive=True)
+                return f
+
+            def apply_edfa(f, cc, key):
+                """Gain + physical 2-pol ASE (+ optional output filter)."""
+                if "sigma_ase" in cc:
+                    f = promote_2pol(f) * jnp.float32(cc["sqrtG"])
+                    d = gaussian_inside(key, (4, n), cc["sigma_ase"])
+                    f = f + jax.lax.complex(d[:2], d[2:])
+                else:
+                    f = f * jnp.float32(cc["sqrtG"])
+                if "H2_name" in cc:
+                    f = jnp.fft.ifft(jnp.fft.fft(f, axis=-1)
+                                     * consts[cc["H2_name"]], axis=-1)
+                return f
+
+            def apply_linear(f, cc):
+                """DM phase / BPF |H|^2 spectral multiply."""
+                if cc["kind"] == "dm":
+                    ph = consts[cc["phi_name"]]
+                    H = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+                else:
+                    H = consts[cc["H2_name"]]
+                return jnp.fft.ifft(jnp.fft.fft(f, axis=-1) * H, axis=-1)
+
+            for st, cc in zip(stages, stage_consts):
+                if cc["kind"] == "fiber":
+                    field = apply_fiber(field, st, cc)
+                elif cc["kind"] == "edfa":
+                    if "sigma_ase" in cc:
+                        stream, k_ase = next_key(stream)
                     else:
-                        maxP0 = jnp.max(field.real**2 + field.imag**2)
-                        h0 = jnp.minimum(
-                            jnp.float32(st.phi_max)
-                            / (jnp.abs(jnp.float32(st.gamma)) * maxP0),
-                            jnp.float32(st.length))
-                        field, _ = ssfm.ssfm_while_inside(
-                            field, phi_w, st.length, st.gamma,
-                            st.phi_max, h0, cc["a_km"], adaptive=True)
-                else:  # EDFA: gain + physical 2-pol ASE
-                    stream, k_ase = next_key(stream)
-                    d = gaussian_inside(k_ase, (4, n), cc["sigma_ase"])
-                    ase = jax.lax.complex(d[:2], d[2:])  # (2, n)
-                    if field.ndim == 1:
-                        field = jnp.stack(
-                            [field * jnp.float32(cc["sqrtG"]),
-                             jnp.zeros_like(field)])
+                        k_ase = None
+                    field = apply_edfa(field, cc, k_ase)
+                elif cc["kind"] in ("dm", "bpf"):
+                    field = apply_linear(field, cc)
+                else:  # repeat: ONE scan over the span block
+                    if cc["needs_ase"]:
+                        stream, k_rep = next_key(stream)
+                        field = promote_2pol(field)  # scan carry is
+                        # shape-invariant; ASE would promote mid-scan
                     else:
-                        field = field * jnp.float32(cc["sqrtG"])
-                    field = field + ase
+                        k_rep = jax.random.PRNGKey(0)  # never consumed
+
+                    def span_body(f, idx, st=st, cc=cc, k_rep=k_rep):
+                        k_i = jax.random.fold_in(k_rep, idx)
+                        for s_st, s_cc in zip(st.stages, cc["sub"]):
+                            if s_cc["kind"] == "fiber":
+                                f = apply_fiber(f, s_st, s_cc)
+                            elif s_cc["kind"] == "edfa":
+                                if "sigma_ase" in s_cc:
+                                    k_i, k_sub = jax.random.split(k_i)
+                                    f = apply_edfa(f, s_cc, k_sub)
+                                else:
+                                    f = apply_edfa(f, s_cc, None)
+                            else:
+                                f = apply_linear(f, s_cc)
+                        return f, None
+
+                    field, _ = jax.lax.scan(
+                        span_body, field, jnp.arange(cc["n"],
+                                                     dtype=jnp.uint32))
 
             # --- PD (reference devices.py:1378-1555) ---
             P = field.real**2 + field.imag**2
@@ -385,6 +604,16 @@ class LinkProgram:
             # --- electrical LPF (zero-phase |H|^2, ops/filters.py) ---
             v = jnp.fft.ifft(jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
                              * consts["H2_pd"]).real
+            if spec.adc_bits is not None:
+                # in-graph ADC: uniform quantization over the robust
+                # 99.99% shortest-interval range (reference
+                # devices.py:1616-1627); the range estimator is the
+                # device twin of utils.analysis.shortest_int
+                lo, hi = _shortest_int_masked(
+                    v, jnp.ones(v.shape, bool), 99.99)
+                nq = jnp.float32(2 ** int(spec.adc_bits) - 1)
+                code = jnp.round((v - lo) / (hi - lo) * nq)
+                v = code / nq * (hi - lo) + lo
             out = (v, v[instant::sps])
             if return_field:
                 out = out + (field.real, field.imag)

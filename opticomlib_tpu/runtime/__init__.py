@@ -4,8 +4,10 @@ its closest analogues are FIBER's ``return_steps`` trajectory capture and
 lab HDF5 persistence); this subsystem is new capability required for the
 multi-span / multi-host configurations (BASELINE config 4: 20x80 km DBP).
 """
+from .cache import enable_cache, cache_dir
 from .checkpoint import (
     PropagationCheckpointer, ssfm_propagate_resumable,
 )
 
-__all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable"]
+__all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable",
+           "enable_cache", "cache_dir"]

@@ -1,0 +1,81 @@
+"""Persistent XLA compilation cache.
+
+The framework's whole design is "one big XLA program" (the fused link,
+the sharded solvers), so a process pays one large compile per program
+shape — on the real TPU a 2^24-sample fused receiver compiles for
+minutes.  The compile is deterministic in the program, so it should be
+paid **once per machine**, not once per process: this module wires up
+JAX's persistent compilation cache, which keys serialized executables by
+(HLO, compile options, backend) and replays them on later runs.
+
+Enable it one of two ways:
+
+* call :func:`opticomlib_tpu.enable_cache` (optionally with a directory)
+  before the first jitted call, or
+* set the environment variable ``OPTICOMLIB_TPU_CACHE=1`` (cache in the
+  default directory) or ``OPTICOMLIB_TPU_CACHE=/path/to/dir`` — the
+  package enables the cache automatically at import time.
+
+JAX's own ``JAX_COMPILATION_CACHE_DIR`` environment variable also works
+and takes precedence if set.  Measured effect (real TPU v5e via the axon
+tunnel, docs/performance.md "Compile latency"): a fused-link ``dsp()``
+program that cold-compiles in minutes loads from a warm cache in
+seconds.
+
+No counterpart exists in the reference (pure NumPy, nothing to compile).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+__all__ = ["enable_cache", "cache_dir", "DEFAULT_CACHE_DIR"]
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/opticomlib_tpu/xla")
+
+_enabled_dir: Optional[str] = None
+
+
+def enable_cache(directory: Optional[str] = None,
+                 min_compile_time_secs: float = 1.0) -> str:
+    """Turn on JAX's persistent compilation cache.
+
+    ``directory`` defaults to ``$OPTICOMLIB_TPU_CACHE`` (when set to a
+    path), else :data:`DEFAULT_CACHE_DIR`.  Programs whose compile takes
+    at least ``min_compile_time_secs`` are persisted (set 0 to persist
+    everything).  Safe to call more than once; later calls may move the
+    cache to a new directory.  Returns the directory in use.
+    """
+    global _enabled_dir
+    if directory is None:
+        env = os.environ.get("OPTICOMLIB_TPU_CACHE", "")
+        directory = env if env not in ("", "0", "1", "true", "True") \
+            else DEFAULT_CACHE_DIR
+    directory = os.path.abspath(os.path.expanduser(directory))
+    os.makedirs(directory, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    # cache every entry regardless of serialized size
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled_dir = directory
+    return directory
+
+
+def cache_dir() -> Optional[str]:
+    """Directory of the active persistent cache, or None when disabled."""
+    return _enabled_dir
+
+
+def _maybe_enable_from_env() -> None:
+    """Auto-enable when OPTICOMLIB_TPU_CACHE is set (called on package
+    import).  JAX_COMPILATION_CACHE_DIR is honored by JAX itself and
+    wins if both are set."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # JAX already configures itself from its own env var
+    val = os.environ.get("OPTICOMLIB_TPU_CACHE", "")
+    if val and val not in ("0", "false", "False"):
+        enable_cache()

@@ -1,0 +1,195 @@
+"""Fused-link stage vocabulary: DM / BPF / EDFA(BW) / DBP / Repeat / PM /
+ADC stages of :mod:`opticomlib_tpu.link`, each checked against the staged
+device it mirrors (sample-for-sample where noiseless) and for
+construction-time validation.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticomlib_tpu import gv
+from opticomlib_tpu.link import (BPFSpec, DBPSpec, DMSpec, EDFASpec,
+                                 FiberSpec, LinkSpec, RepeatSpec, build_link)
+from opticomlib_tpu.params import SimParams
+from opticomlib_tpu.signals import OpticalSignal
+
+SPS, R = 16, 10e9
+N_BITS = 256
+
+
+def _params():
+    return SimParams.create(sps=SPS, R=R, _warn=False)
+
+
+def _spec(stages=(), **kw):
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                pd_BW=0.75 * R, include_thermal=False, include_shot=False)
+    base.update(kw)
+    return LinkSpec(stages=tuple(stages), **base)
+
+
+def _field(spec, seed=0):
+    prog = build_link(spec, n_bits=N_BITS, params=_params(),
+                      return_field=True)
+    out = prog.jitted(jnp.asarray(np.random.default_rng(7).integers(
+        0, 2, N_BITS).astype(np.float32)), jnp.uint32(seed))
+    re, im = np.asarray(out[2]), np.asarray(out[3])
+    return re + 1j * im
+
+
+# --------------------------------------------------------------------- DM
+def test_dm_stage_matches_staged_device():
+    gv(sps=SPS, R=R)
+    D = 336.0  # ps^2
+    f0 = _field(_spec(()))
+    f1 = _field(_spec((DMSpec(D=D),)))
+    from opticomlib_tpu.devices import DM
+    staged = DM(OpticalSignal(f0), D=D)
+    ref = np.asarray(staged.signal).ravel()
+    assert np.max(np.abs(f1 - ref)) < 1e-6 * np.max(np.abs(ref))
+
+
+def test_dm_compensates_linear_fiber():
+    L, b2 = 40.0, -21.0
+    f0 = _field(_spec(()))
+    f1 = _field(_spec((FiberSpec(length=L, beta_2=b2),
+                       DMSpec(D=-b2 * L))))
+    assert np.max(np.abs(f1 - f0)) < 1e-4 * np.max(np.abs(f0))
+
+
+# -------------------------------------------------------------------- BPF
+def test_bpf_stage_matches_staged_device():
+    gv(sps=SPS, R=R)
+    BW = 0.6 * R
+    f0 = _field(_spec(()))
+    f1 = _field(_spec((BPFSpec(BW=BW),)))
+    from opticomlib_tpu.devices import BPF
+    staged = BPF(OpticalSignal(f0), BW=BW)
+    ref = np.asarray(staged.signal).ravel()
+    assert np.max(np.abs(f1 - ref)) < 1e-6 * np.max(np.abs(f0))
+
+
+# ------------------------------------------------------------ EDFA extras
+def test_edfa_noiseless_is_pure_scale():
+    f0 = _field(_spec(()))
+    f1 = _field(_spec((EDFASpec(G=-6.0),)))  # NF=None -> attenuator
+    np.testing.assert_allclose(f1, f0 * 10 ** (-6.0 / 20), rtol=2e-6)
+
+
+def test_edfa_output_filter():
+    gv(sps=SPS, R=R)
+    BW = 0.5 * R
+    f_gain = _field(_spec((EDFASpec(G=3.0),)))
+    f_filt = _field(_spec((EDFASpec(G=3.0, BW=BW),)))
+    from opticomlib_tpu.devices import BPF
+    ref = np.asarray(BPF(OpticalSignal(f_gain), BW=BW).signal).ravel()
+    assert np.max(np.abs(f_filt - ref)) < 1e-6 * np.max(np.abs(f_gain))
+
+
+def test_edfa_ase_needs_positive_gain():
+    prog_spec = _spec((EDFASpec(G=-3.0, NF=5.0),))
+    with pytest.raises(ValueError, match="G > 0"):
+        build_link(prog_spec, n_bits=N_BITS, params=_params())
+
+
+# -------------------------------------------------------------------- DBP
+def test_dbp_stage_inverts_span():
+    fib = FiberSpec(length=30.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.25)
+    G = fib.alpha * fib.length
+    f0 = _field(_spec(()))
+    f1 = _field(_spec((
+        fib, EDFASpec(G=G),
+        DBPSpec(length=fib.length, alpha=fib.alpha, beta_2=fib.beta_2,
+                gamma=fib.gamma, h=fib.h, undo_gain_dB=G))))
+    err = np.max(np.abs(f1 - f0)) / np.max(np.abs(f0))
+    assert err < 2e-3, err
+
+
+# ----------------------------------------------------------------- Repeat
+def test_repeat_noiseless_equals_unrolled():
+    fib = FiberSpec(length=10.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=1.0)
+    amp = EDFASpec(G=2.0)
+    f_rep = _field(_spec((RepeatSpec(3, (fib, amp)),)))
+    f_unr = _field(_spec((fib, amp) * 3))
+    assert np.max(np.abs(f_rep - f_unr)) < 1e-5 * np.max(np.abs(f_unr))
+
+
+def test_repeat_with_ase_reproducible_and_2pol():
+    fib = FiberSpec(length=10.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=1.0)
+    amp = EDFASpec(G=2.0, NF=5.0)
+    spec = _spec((RepeatSpec(3, (fib, amp)),))
+    fa = _field(spec, seed=5)
+    fb = _field(spec, seed=5)
+    fc = _field(spec, seed=6)
+    assert fa.shape[0] == 2  # promoted to 2 pol before the scan
+    np.testing.assert_array_equal(fa, fb)
+    assert np.max(np.abs(fa - fc)) > 0
+    assert np.isfinite(fa).all()
+
+
+# --------------------------------------------------------------------- PM
+def test_pm_modulator_phase():
+    # constant drive: NRZ pulse + all-ones bits -> x = Vpp + offset
+    # everywhere, so the field is sqrt(P0)*exp(j*pi*x/Vpi) exactly
+    spec = _spec((), modulator="pm", pulse_shape="nrz", Vpp=2.0, offset=0.5)
+    prog = build_link(spec, n_bits=N_BITS, params=_params(),
+                      return_field=True)
+    bits = jnp.ones(N_BITS, jnp.float32)
+    out = prog.jitted(bits, jnp.uint32(0))
+    f = np.asarray(out[2]) + 1j * np.asarray(out[3])
+    from opticomlib_tpu.utils.analysis import idbm
+    expect = np.sqrt(idbm(5)) * np.exp(1j * np.pi * 2.5 / 5.0)
+    np.testing.assert_allclose(f, np.full_like(f, expect), atol=2e-6)
+
+
+# -------------------------------------------------------------------- ADC
+def test_adc_quantization_matches_staged():
+    spec_raw = _spec((FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
+                                gamma=1.3, h=1.0),))
+    spec_adc = _spec((FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
+                                gamma=1.3, h=1.0),), adc_bits=6)
+    bits = jnp.asarray(np.random.default_rng(7).integers(
+        0, 2, N_BITS).astype(np.float32))
+    pr_raw = build_link(spec_raw, n_bits=N_BITS, params=_params())
+    pr_adc = build_link(spec_adc, n_bits=N_BITS, params=_params())
+    v_raw = np.asarray(pr_raw.jitted(bits, jnp.uint32(3))[0])
+    v_adc = np.asarray(pr_adc.jitted(bits, jnp.uint32(3))[0])
+    from opticomlib_tpu.devices import ADC
+    gv(sps=SPS, R=R)
+    ref = np.asarray(ADC(v_raw, n=6).signal).real
+    np.testing.assert_allclose(v_adc, ref, atol=1e-5 * np.ptp(ref))
+    assert len(np.unique(np.round(v_adc, 8))) <= 2 ** 6
+
+
+# ------------------------------------------------------------- validation
+def test_linkspec_validates_at_construction():
+    with pytest.raises(ValueError, match="pulse_shape"):
+        _spec((), pulse_shape="gausian")
+    with pytest.raises(ValueError, match="coupling"):
+        _spec((), coupling="CA")
+    with pytest.raises(ValueError, match="modulator"):
+        _spec((), modulator="eam")
+    with pytest.raises(ValueError, match="unsupported stage"):
+        _spec(("fiber",))
+    with pytest.raises(ValueError, match="adc_bits"):
+        _spec((), adc_bits=40)
+    with pytest.raises(ValueError, match="length"):
+        FiberSpec(length=-1.0)
+    with pytest.raises(ValueError, match="nest"):
+        RepeatSpec(2, (RepeatSpec(2, (FiberSpec(length=1.0),)),))
+    with pytest.raises(ValueError, match="BW"):
+        BPFSpec(BW=0.0)
+
+
+def test_ac_coupling_tolerates_whitespace():
+    # 'ac ' must mean AC, not silently DC
+    spec = _spec((), coupling="ac ")
+    prog = build_link(spec, n_bits=N_BITS, params=_params())
+    bits = jnp.asarray(np.random.default_rng(1).integers(
+        0, 2, N_BITS).astype(np.float32))
+    v, slots = prog.jitted(bits, jnp.uint32(0))[:2]
+    spec_dc = _spec((), coupling="DC")
+    prog_dc = build_link(spec_dc, n_bits=N_BITS, params=_params())
+    v_dc = prog_dc.jitted(bits, jnp.uint32(0))[0]
+    assert abs(float(jnp.mean(v)) ) < abs(float(jnp.mean(v_dc)))

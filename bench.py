@@ -177,10 +177,16 @@ def bench_fused_dsp(n_bits=N_BITS):
 
 
 def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
-    """BASELINE config 4: 20x80 km spans + full-length DBP equalizer,
-    adaptive stepping, at 2^20 samples (smaller window keeps the bench
-    round under budget; throughput is per-sample-step invariant)."""
+    """BASELINE config 4: 20x80 km spans + full-length per-span DBP
+    equalizer, adaptive stepping, as ONE fused XLA program — a lax.scan
+    over the span axis with the in-jit adaptive while_loop inside (round-2
+    ran 40 sequential jit calls with a host scalar readback between every
+    span; round 3 fuses them, removing all 40 sync points).  2^20 samples
+    (smaller window keeps the bench round under budget; throughput is
+    per-sample-step invariant)."""
     import jax
+    import jax.numpy as jnp
+    from functools import partial
 
     from opticomlib_tpu.ops import ssfm
 
@@ -192,34 +198,44 @@ def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
     a_km = ssfm.alpha_per_km(0.2)
     Are = jax.device_put(np.ascontiguousarray(A.real))
     Aim = jax.device_put(np.ascontiguousarray(A.imag))
-    g = 1.3
-    maxP0 = float(np.max(np.abs(A)) ** 2)
-    h0 = min(0.05 / (g * maxP0), span_km)
+    g, phi_max = 1.3, 0.05
     gain = np.float32(10 ** (0.2 * span_km / 20))
+
+    @partial(jax.jit, static_argnames=())
+    def prog(re, im, phi_w):
+        def span(carry, _, sgn):
+            A, nst = carry
+            if sgn < 0:
+                A = A / gain  # undo span gain before back-propagation
+            maxP0 = jnp.max(A.real**2 + A.imag**2)
+            h0 = jnp.minimum(jnp.float32(phi_max) / (g * maxP0),
+                             jnp.float32(span_km))
+            A, s = ssfm.ssfm_while_inside(
+                A, sgn * phi_w, span_km, sgn * g, phi_max, h0,
+                sgn * a_km, adaptive=True)
+            if sgn > 0:
+                A = A * gain  # transparent EDFA
+            return (A, nst + s), None
+
+        A0 = jax.lax.complex(re, im)
+        (A1, nst), _ = jax.lax.scan(partial(span, sgn=1.0),
+                                    (A0, jnp.int32(0)), None,
+                                    length=n_spans)
+        (A2, nst), _ = jax.lax.scan(partial(span, sgn=-1.0),
+                                    (A1, nst), None, length=n_spans)
+        return A2.real, A2.imag, nst
 
     steps_total = {}
 
     def run():
-        re, im = Are, Aim
-        nst = 0
-        for _ in range(n_spans):  # spans + transparent EDFA gain
-            re, im, s = ssfm._ssfm_loop(re, im, phi_w, span_km, g, 0.05,
-                                        h0, a_km, adaptive=True)
-            re, im = re * gain, im * gain
-            nst += int(s)
-        # DBP: per-span backward passes (remove span gain, then propagate
-        # with all operator signs flipped) — keeps power bounded, exactly
-        # inverting the forward link span by span
-        for _ in range(n_spans):
-            re, im = re / gain, im / gain
-            re, im, s = ssfm._ssfm_loop(re, im, phi_w, span_km, -g,
-                                        0.05, h0, -a_km, adaptive=True)
-            nst += int(s)
-        steps_total["n"] = nst
+        re, im, nst = prog(Are, Aim, phi_w)
+        steps_total["n"] = int(nst)  # scalar readback = the ONLY sync
 
     best = _time(run, reps=2)
-    return n / best, {"n_samples": n, "total_steps": steps_total["n"],
-                      "wall_s": round(best, 3)}
+    rate = n / best
+    return rate, {"n_samples": n, "total_steps": steps_total["n"],
+                  "sample_steps_per_s": round(rate * steps_total["n"], 1),
+                  "wall_s": round(best, 3)}
 
 
 def bench_wdm_batch(n_ch=16, n=2**22, h=1.0):

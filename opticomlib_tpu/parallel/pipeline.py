@@ -45,8 +45,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.noise import gaussian_inside
 from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
-                        ssfm_step_schedule)
+                        ssfm_step_schedule, ssfm_while_inside)
 
 __all__ = ["make_span_mesh", "span_pipeline"]
 
@@ -69,22 +70,45 @@ def span_pipeline(
     beta_2: float = 0.0,
     beta_3: float = 0.0,
     gamma: float = 0.0,
-    h: float = 1.0,
+    h: Optional[float] = 1.0,
+    phi_max: float = 0.05,
     gain_db: Optional[float] = None,
+    NF: Optional[float] = None,
+    f0: Optional[float] = None,
+    seed: int = 0,
     span_axis: str = "span",
 ):
     """Propagate ``B`` waveforms through ``S = mesh.shape[span_axis]``
-    identical spans (fixed-step SSFM + flat EDFA gain), pipelined.
+    identical spans (SSFM + EDFA gain, optionally with keyed ASE),
+    pipelined.
 
     Parameters
     ----------
     A_batch : (B, n) complex array
         Microbatches; ``B`` must be a multiple of ``S`` (each device owns
         ``B/S`` of them — no replication).
+    h : float, optional
+        Fixed SSFM step [km]; ``None`` -> phi_max-adaptive stepping
+        (reference devices.py:1156/1193-1196).  Each active microbatch
+        lives wholly on one device, so the adaptive ``max|A|^2`` is a
+        local reduction — no collectives.
     gain_db : float, optional
         Per-span EDFA field gain in dB; defaults to ``alpha * span_length``
-        (transparent link).  Noise-free gain — add ASE separately with
-        :func:`opticomlib_tpu.devices.EDFA` semantics if needed.
+        (transparent link).
+    NF : float, optional
+        EDFA noise figure [dB].  When set, each span's gain is followed by
+        a keyed ASE draw of power ``idb(NF)*h*f0*(G-1)*fs`` on the carried
+        polarization (the EDFA math of the fused link; the orthogonal-pol
+        ASE power is not representable in a 1-pol batch — use the fused
+        2-pol link for direct-detection ASE-ASE studies).  The key for
+        (microbatch ``m``, span ``d``) is
+        ``fold_in(fold_in(PRNGKey(seed), m), d)`` — a pure function of the
+        logical position, NOT of the pipeline schedule, so the result is
+        bit-identical to the sequential span-by-span chain with the same
+        keys (tested on an 8-device mesh in tests/test_parallel.py).
+    f0 : float, optional
+        Optical carrier frequency [Hz] for the ASE power (default:
+        c/1550 nm).
 
     Returns
     -------
@@ -105,29 +129,60 @@ def span_pipeline(
         gain_db = alpha * span_length
     g_field = jnp.float32(10.0 ** (gain_db / 20.0))
 
+    sigma_ase = 0.0
+    if NF is not None:
+        from scipy.constants import c as c_light, h as h_planck
+        G_lin = 10.0 ** (gain_db / 10.0)
+        if G_lin <= 1.0:
+            raise ValueError("ASE (NF set) requires gain_db > 0")
+        if f0 is None:
+            f0 = c_light / 1550e-9
+        P_ase = 10.0 ** (NF / 10.0) * h_planck * f0 * (G_lin - 1.0) * fs
+        sigma_ase = float(np.sqrt(P_ase / 4.0))
+    base_key = jax.random.PRNGKey(seed)
+
     w = 2 * np.pi * np.fft.fftfreq(n) * fs
     phi_w = jnp.asarray(dispersion_phase(w, beta_2, beta_3))
     a_km = jnp.float32(alpha_per_km(alpha))
-    hs = jnp.asarray(ssfm_step_schedule(span_length, h))
+    adaptive = h is None and gamma != 0 and (beta_2 != 0 or beta_3 != 0)
+    if h is None and not adaptive:
+        h = span_length  # linear-only: one step (reference h0 = length)
+    hs = (None if adaptive
+          else jnp.asarray(ssfm_step_schedule(span_length, h)))
     gamma_f = jnp.float32(gamma)
 
-    def span_step(x):
-        """One full span: fixed-step SSFM scan + flat gain (frozen-operator
-        symmetric step, reference devices.py:1172-1196)."""
-        h0 = hs[0]
-        E0 = _lin_factor(phi_w, a_km, h0)
+    def span_step(x, k):
+        """One full span: SSFM (fixed scan or phi_max-adaptive while) +
+        flat gain + optional keyed ASE (frozen-operator symmetric step,
+        reference devices.py:1172-1196)."""
+        if adaptive:
+            maxP = jnp.maximum(jnp.max(x.real**2 + x.imag**2),
+                               jnp.float32(1e-30))
+            h0 = jnp.minimum(jnp.float32(phi_max)
+                             / (jnp.abs(gamma_f) * maxP),
+                             jnp.float32(span_length))
+            x, _ = ssfm_while_inside(x, phi_w, span_length, gamma_f,
+                                     phi_max, h0, a_km, adaptive=True)
+        else:
+            h0 = hs[0]
+            E0 = _lin_factor(phi_w, a_km, h0)
 
-        def step(a, hh):
-            phi = (gamma_f * (hh / 2)) * (a.real * a.real + a.imag * a.imag)
-            half = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-            a = a * half
-            E = jax.lax.cond(hh == h0, lambda: E0,
-                             lambda: _lin_factor(phi_w, a_km, hh))
-            a = jnp.fft.ifft(jnp.fft.fft(a) * E)
-            return a * half, None
+            def step(a, hh):
+                phi = (gamma_f * (hh / 2)) * (a.real * a.real
+                                              + a.imag * a.imag)
+                half = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+                a = a * half
+                E = jax.lax.cond(hh == h0, lambda: E0,
+                                 lambda: _lin_factor(phi_w, a_km, hh))
+                a = jnp.fft.ifft(jnp.fft.fft(a) * E)
+                return a * half, None
 
-        x, _ = jax.lax.scan(step, x, hs)
-        return x * g_field
+            x, _ = jax.lax.scan(step, x, hs)
+        x = x * g_field
+        if sigma_ase:
+            d = gaussian_inside(k, (2, n), sigma_ase)
+            x = x + jax.lax.complex(d[0], d[1])
+        return x
 
     # ---- schedule bookkeeping (see module docstring) ----
     T1 = B + S - 1                      # compute ticks (last write at T1-1)
@@ -168,7 +223,11 @@ def span_pipeline(
 
             m = t - d
             active = jnp.logical_and(m >= 0, m < B)
-            y = span_step(x_in)
+            # ASE key is a pure function of the logical (microbatch, span)
+            # position — schedule-independent, so pipeline == sequential
+            k_md = jax.random.fold_in(
+                jax.random.fold_in(base_key, jnp.maximum(m, 0)), d)
+            y = span_step(x_in, k_md)
             y = jnp.where(active, y, jnp.zeros_like(y))
 
             # deposit finished microbatch into the output ring (write

@@ -324,3 +324,74 @@ def test_fiber_mesh_rejects_return_steps(devices):
     with pytest.raises(ValueError):
         FIBER(x, 10, beta_2=-20, gamma=1.0, mesh=mesh, return_steps=True)
     gv.default()
+
+
+def test_span_pipeline_ase_matches_sequential_keyed_chain(devices):
+    """Round 3 (VERDICT item 8): pipeline with per-span keyed ASE ==
+    the sequential keyed span-by-span chain, bit-for-bit — the ASE key
+    is a pure function of (microbatch, span), not of the schedule."""
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.ops.noise import gaussian_inside
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+    from scipy.constants import c as c_light, h as h_planck
+
+    S, B, n, fs = 4, 8, 512, 160e9
+    span_L, h, NF, seed = 5.0, 0.5, 5.0, 123
+    cfg = dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    rng = np.random.default_rng(3)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+
+    mesh = make_span_mesh(S, devices=devices[:S])
+    out = np.asarray(span_pipeline(A, mesh, fs, span_L, h=h, NF=NF,
+                                   seed=seed, **cfg))
+
+    # sequential oracle with the SAME key scheme
+    gain_db = cfg["alpha"] * span_L
+    g = 10.0 ** (gain_db / 20.0)
+    G_lin = 10.0 ** (gain_db / 10.0)
+    f0 = c_light / 1550e-9
+    P_ase = 10.0 ** (NF / 10.0) * h_planck * f0 * (G_lin - 1.0) * fs
+    sigma = float(np.sqrt(P_ase / 4.0))
+    base = jax.random.PRNGKey(seed)
+    w = _wgrid(n, fs)
+    expect = A.copy()
+    for d in range(S):
+        for m in range(B):
+            y = ssfm.ssfm_propagate(expect[m], w, span_L, h=h, **cfg) * g
+            k = jax.random.fold_in(jax.random.fold_in(base, m), d)
+            dr = np.asarray(jax.jit(gaussian_inside,
+                                    static_argnums=(1,))(k, (2, n), sigma))
+            expect[m] = y + dr[0] + 1j * dr[1]
+
+    scale = np.max(np.abs(expect))
+    np.testing.assert_allclose(out, expect, atol=5e-4 * scale)
+
+
+def test_span_pipeline_adaptive_matches_sequential(devices):
+    """Round 3 (VERDICT item 8): phi_max-adaptive stepping in the
+    pipeline (local reduction — each microbatch lives on one device)."""
+    from opticomlib_tpu.parallel.pipeline import make_span_mesh, span_pipeline
+
+    S, B, n, fs = 4, 8, 512, 160e9
+    span_L, phi_max = 5.0, 0.02
+    cfg = dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    rng = np.random.default_rng(9)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+
+    mesh = make_span_mesh(S, devices=devices[:S])
+    out = np.asarray(span_pipeline(A, mesh, fs, span_L, h=None,
+                                   phi_max=phi_max, **cfg))
+
+    w = _wgrid(n, fs)
+    g = 10.0 ** (cfg["alpha"] * span_L / 20.0)
+    expect = A.copy()
+    for _ in range(S):
+        expect = np.stack([
+            ssfm.ssfm_propagate(expect[b], w, span_L, h=None,
+                                phi_max=phi_max, **cfg) * g
+            for b in range(B)])
+    np.testing.assert_allclose(out, expect,
+                               atol=5e-4 * np.max(np.abs(expect)))

@@ -961,9 +961,23 @@ class LinkProgram:
 
 def build_link(spec: LinkSpec, n_bits: int,
                params: Optional[SimParams] = None,
-               return_field: bool = False) -> LinkProgram:
+               return_field: bool = False, mesh=None,
+               time_axis: str = "time", wdm_axis: Optional[str] = "wdm"):
     """Compile the full TX->channel->RX chain described by ``spec`` into
     one XLA program for ``n_bits`` slots at the current (or given)
-    simulation parameters."""
+    simulation parameters.
+
+    Pass ``mesh`` (a :class:`jax.sharding.Mesh` with a ``time_axis``
+    dimension and optionally a ``wdm_axis``) to build the **sharded**
+    fused link instead (:class:`opticomlib_tpu.link_sharded.
+    ShardedLinkProgram`): the waveform's sample axis shards over the
+    mesh (exact pencil-FFT spectral ops, adaptive SSFM with
+    all-reduce(max)), WDM channels ride data-parallel, and the fused
+    receivers (``dsp``/``dsp_wdm``) keep everything device-resident."""
     params = params if params is not None else gv.params
+    if mesh is not None:
+        from .link_sharded import ShardedLinkProgram
+        return ShardedLinkProgram(spec, n_bits, params, mesh,
+                                  time_axis=time_axis, wdm_axis=wdm_axis,
+                                  return_field=return_field)
     return LinkProgram(spec, n_bits, params, return_field=return_field)

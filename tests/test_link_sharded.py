@@ -1,0 +1,163 @@
+"""Public sharded fused link (opticomlib_tpu.link_sharded) on the
+8-device CPU mesh: noiseless sharded == unsharded sample-for-sample for
+every stage kind; fused receivers reproduce and stay device-resident;
+block-local noise streams are keyed-reproducible and boundary-free.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from opticomlib_tpu.link import (BPFSpec, DBPSpec, DMSpec, EDFASpec,
+                                 FiberSpec, LinkSpec, RepeatSpec, build_link)
+from opticomlib_tpu.params import SimParams
+
+SPS, R = 16, 10e9
+N_BITS = 512
+
+
+@pytest.fixture(scope="module")
+def params():
+    return SimParams.create(sps=SPS, R=R, _warn=False)
+
+
+@pytest.fixture(scope="module")
+def mesh_t():
+    return Mesh(np.array(jax.devices()), ("time",))
+
+
+@pytest.fixture(scope="module")
+def mesh_wt():
+    return Mesh(np.array(jax.devices()).reshape(4, 2), ("wdm", "time"))
+
+
+def _spec(stages=(), **kw):
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                pd_BW=0.75 * R, include_thermal=False, include_shot=False)
+    base.update(kw)
+    return LinkSpec(stages=tuple(stages), **base)
+
+
+_BITS = np.random.default_rng(0).integers(0, 2, N_BITS).astype(np.float32)
+
+_FIB = FiberSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3, h=1.0)
+_STAGE_CASES = {
+    "b2b": (),
+    "fiber_fixed": (_FIB,),
+    "fiber_adaptive": (FiberSpec(length=50, alpha=0.2, beta_2=-21.0,
+                                 gamma=1.3),),
+    "dm": (FiberSpec(length=40, beta_2=-21.0), DMSpec(D=21.0 * 40)),
+    "bpf": (BPFSpec(BW=0.5 * R * SPS),),
+    "edfa_bw": (EDFASpec(G=3.0, BW=0.6 * R * SPS),),
+    "repeat": (RepeatSpec(3, (FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
+                                        gamma=1.3, h=1.0),
+                              EDFASpec(G=4.0))),),
+    "dbp": (_FIB, EDFASpec(G=10.0),
+            DBPSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3, h=1.0,
+                    undo_gain_dB=10.0)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_STAGE_CASES))
+def test_sharded_noiseless_equals_unsharded(params, mesh_t, name):
+    spec = _spec(_STAGE_CASES[name])
+    pr0 = build_link(spec, N_BITS, params=params)
+    v0 = np.asarray(pr0.jitted(jnp.asarray(_BITS), jnp.uint32(0))[0])
+    pr1 = build_link(spec, N_BITS, params=params, mesh=mesh_t)
+    v1 = np.asarray(pr1.jitted(_BITS, np.uint32([0]))[0])[0]
+    scale = np.max(np.abs(v0))
+    assert np.max(np.abs(v1 - v0)) < 2e-5 * scale, name
+
+
+def test_sharded_dsp_reproducible_and_consistent(params, mesh_t):
+    spec = _spec((FiberSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3),
+                  EDFASpec(G=10, NF=5)),
+                 include_thermal=True, include_shot=True)
+    pr = build_link(spec, 1024, params=params, mesh=mesh_t)
+    r1 = pr.dsp(seed=1)
+    r2 = pr.dsp(seed=1)
+    r3 = pr.dsp(seed=2)
+    assert r1.ber == r2.ber and r1.threshold == r2.threshold
+    assert (r1.threshold, r1.eye.mu1) != (r3.threshold, r3.eye.mu1)
+    assert r1.ber == 0.0  # high-SNR link decodes cleanly
+    # statistically consistent with the unsharded receiver (different
+    # noise stream layout, same physics)
+    r0 = build_link(spec, 1024, params=params).dsp(seed=1)
+    assert abs(r1.eye.mu1 - r0.eye.mu1) < 0.2 * r0.eye.mu1
+    assert abs(r1.threshold - r0.threshold) < 0.2 * abs(r0.threshold)
+
+
+def test_sharded_dsp_noiseless_matches_unsharded_exactly(params, mesh_t):
+    spec = _spec((_FIB,))
+    r0 = build_link(spec, 1024, params=params).dsp(seed=3)
+    r1 = build_link(spec, 1024, params=params, mesh=mesh_t).dsp(seed=3)
+    assert r1.ber == r0.ber
+    np.testing.assert_allclose(r1.threshold, r0.threshold, atol=1e-5)
+    np.testing.assert_allclose(r1.eye.mu1, r0.eye.mu1, rtol=1e-4)
+
+
+def test_sharded_dsp_wdm(params, mesh_wt):
+    spec = _spec((FiberSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3),
+                  EDFASpec(G=10, NF=5)),
+                 include_thermal=True, include_shot=True)
+    pr = build_link(spec, 1024, params=params, mesh=mesh_wt)
+    sw = pr.dsp_wdm(8, seed=0)
+    assert sw.ber.shape == (8,)
+    assert np.isfinite(sw.threshold).all()
+    assert (sw.ber == 0).all()
+    sw2 = pr.dsp_wdm(8, seed=0)
+    np.testing.assert_array_equal(sw.n_errors, sw2.n_errors)
+    # identical bits + identical seeds -> identical channels
+    bits = np.tile(_BITS[None, :1024//1], (8, 1))[:, :1024] if False else None
+    b = np.random.default_rng(5).integers(0, 2, 1024).astype(np.uint8)
+    same = pr.dsp_wdm(8, bits=np.tile(b, (8, 1)), seed=0)
+    # different seeds per channel -> different noise, same clean decode
+    assert (same.ber == same.ber[0]).all()
+
+
+def test_sharded_wdm_noiseless_channels_identical(params, mesh_wt):
+    spec = _spec((_FIB,))
+    pr = build_link(spec, N_BITS, params=params, mesh=mesh_wt)
+    b = np.tile(_BITS, (8, 1))
+    out = pr.jitted(b, np.zeros(8, np.uint32))
+    v = np.asarray(out[0])
+    for c in range(1, 8):
+        np.testing.assert_allclose(v[c], v[0], atol=1e-6)
+
+
+def test_sharded_wiener_phase_has_no_block_seams(params, mesh_t):
+    """The laser phase random walk crosses shard boundaries smoothly
+    (local cumsum + all-gathered prefix)."""
+    lw = 1e6
+    spec = _spec((), lw=lw, P0=0.0)
+    pr = build_link(spec, N_BITS, params=params, mesh=mesh_t,
+                    return_field=True)
+    out = pr.jitted(np.ones(N_BITS, np.float32), np.uint32([7]))
+    f = np.asarray(out[2])[0] + 1j * np.asarray(out[3])[0]
+    ph = np.unwrap(np.angle(f))
+    d = np.abs(np.diff(ph))
+    sigma = np.sqrt(2 * np.pi * lw / pr.params.fs)
+    # every increment (incl. the 7 shard seams) is a single N(0, sigma)
+    # step — a seam bug would show a O(sqrt(block)) jump
+    assert d.max() < 8 * sigma, (d.max(), sigma)
+
+
+def test_sharded_validation(params, mesh_t):
+    with pytest.raises(ValueError, match="divisible"):
+        build_link(_spec(()), 513, params=params, mesh=mesh_t)
+    with pytest.raises(NotImplementedError, match="adc"):
+        build_link(_spec((), adc_bits=8), N_BITS, params=params,
+                   mesh=mesh_t)
+    pr = build_link(_spec(()), N_BITS, params=params, mesh=mesh_t)
+    with pytest.raises(ValueError, match="shape"):
+        pr.dsp_wdm(4, bits=np.zeros((4, 17)))
+
+
+def test_sharded_run_gathers(params, mesh_t):
+    pr = build_link(_spec((_FIB,)), N_BITS, params=params, mesh=mesh_t)
+    r = pr.run(seed=0)
+    assert r.v.shape == (N_BITS * SPS,)
+    assert r.slots.shape == (N_BITS,)
+    assert np.isfinite(r.v).all()

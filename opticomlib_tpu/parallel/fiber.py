@@ -135,6 +135,9 @@ def _pencil_propagate_fn(n_time: int, block: int, fs: float, alpha: float,
     return propagate
 
 
+_prog_cache: dict = {}
+
+
 def ssfm_sharded(
     A,
     mesh: Mesh,
@@ -150,6 +153,8 @@ def ssfm_sharded(
     halo_safety: float = 4.0,
     time_axis: str = "time",
     wdm_axis: Optional[str] = "wdm",
+    ckpt_dir: Optional[str] = None,
+    segment_km: Optional[float] = None,
 ):
     """Propagate a sharded waveform through ``length`` km of fiber.
 
@@ -170,7 +175,25 @@ def ssfm_sharded(
       * ``"overlap"`` — blockwise overlap-save with ring halo exchange
         (ppermute only; cheaper on the interconnect but approximate — the
         truncation error decays ~1/H^2 in the halo width).
+
+    ``ckpt_dir``: checkpoint/resume (SURVEY §5.4).  The span is run in
+    segments of ``segment_km`` (default: the whole span), the field
+    saved after each segment (atomic versioned npz via
+    :class:`opticomlib_tpu.runtime.PropagationCheckpointer`); a rerun
+    with the same directory and physics resumes from the latest
+    checkpoint and reproduces the uninterrupted segmented run
+    bit-for-bit (adaptive stepping re-probes h0 at each segment
+    boundary in both cases).
+
+    Compiled programs are cached per (mesh devices, shape, physics,
+    method) — repeated calls with the same configuration re-trace
+    nothing.
     """
+    if ckpt_dir is not None:
+        return _ssfm_sharded_resumable(
+            A, mesh, fs, length, alpha, beta_2, beta_3, gamma, h,
+            phi_max, method, halo_safety, time_axis, wdm_axis,
+            ckpt_dir, segment_km)
     A = jnp.asarray(A, dtype=jnp.complex64)
     n = A.shape[-1]
     n_time = mesh.shape[time_axis]
@@ -204,6 +227,17 @@ def ssfm_sharded(
         for ax in axes:
             m = jax.lax.pmax(m, ax)
         return m
+
+    cache_key = (tuple(mesh.axis_names),
+                 tuple(d.id for d in mesh.devices.flat),
+                 A.shape, method, float(fs), float(length), float(alpha),
+                 float(beta_2), float(beta_3), float(gamma), h, adaptive,
+                 float(phi_max), float(halo_safety), time_axis, wdm_axis,
+                 (round(float(h_for_halo), 9)
+                  if method == "overlap" else None))
+    prog = _prog_cache.get(cache_key)
+    if prog is not None:
+        return prog(A)
 
     if method == "pencil":
         if block % n_time:
@@ -284,4 +318,48 @@ def ssfm_sharded(
     def run(x):
         return propagate(x, jnp.asarray(hs))
 
-    return jax.jit(run)(A)
+    prog = _prog_cache.get(cache_key)
+    if prog is None:
+        prog = _prog_cache[cache_key] = jax.jit(run)
+    return prog(A)
+
+
+def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
+                            gamma, h, phi_max, method, halo_safety,
+                            time_axis, wdm_axis, ckpt_dir, segment_km):
+    """Segmented sharded propagation with checkpoint/resume (SURVEY §5.4;
+    VERDICT round-2 item 7).  Each segment is one cached jitted sharded
+    program; the field is gathered and saved after every segment.  A
+    rerun with the same directory+physics resumes from the latest valid
+    checkpoint — the resumed output is bit-identical to the
+    uninterrupted segmented run (both re-probe the adaptive h0 at each
+    segment boundary from the same field)."""
+    from ..runtime.checkpoint import PropagationCheckpointer
+
+    seg = float(segment_km) if segment_km else float(length)
+    A = jnp.asarray(A, dtype=jnp.complex64)
+    cfg = dict(kind="ssfm_sharded", n=list(A.shape), fs=fs, length=length,
+               alpha=alpha, beta_2=beta_2, beta_3=beta_3, gamma=gamma,
+               h=h, phi_max=phi_max, method=method, segment_km=seg,
+               mesh=[list(mesh.axis_names),
+                     [int(d.id) for d in mesh.devices.flat]])
+    ck = PropagationCheckpointer(ckpt_dir, config=cfg)
+    state = ck.latest()
+    if state is not None:
+        step, z, re, im, _ = state
+        A = jnp.asarray(re + 1j * im, dtype=jnp.complex64)
+    else:
+        step, z = 0, 0.0
+    A = shard_waveform(np.asarray(A), mesh,
+                       wdm_axis=None if A.ndim == 1 else wdm_axis)
+    while z < length - 1e-9:
+        this = min(seg, length - z)
+        A = ssfm_sharded(A, mesh, fs, this, alpha=alpha, beta_2=beta_2,
+                         beta_3=beta_3, gamma=gamma, h=h, phi_max=phi_max,
+                         method=method, halo_safety=halo_safety,
+                         time_axis=time_axis, wdm_axis=wdm_axis)
+        z += this
+        step += 1
+        A_host = np.asarray(A)
+        ck.save(step, z, A_host.real, A_host.imag)
+    return A

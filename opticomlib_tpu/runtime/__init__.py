@@ -6,8 +6,9 @@ multi-span / multi-host configurations (BASELINE config 4: 20x80 km DBP).
 """
 from .cache import enable_cache, cache_dir
 from .checkpoint import (
-    PropagationCheckpointer, ssfm_propagate_resumable,
+    PropagationCheckpointer, span_chain_resumable,
+    ssfm_propagate_resumable,
 )
 
 __all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable",
-           "enable_cache", "cache_dir"]
+           "span_chain_resumable", "enable_cache", "cache_dir"]

@@ -25,7 +25,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable"]
+__all__ = ["PropagationCheckpointer", "ssfm_propagate_resumable",
+           "span_chain_resumable"]
 
 
 def _config_fingerprint(cfg: dict) -> str:
@@ -155,4 +156,42 @@ def ssfm_propagate_resumable(
         z += seg
         step += 1
         ck.save(step, z, A.real, A.imag)
+    return np.asarray(A, dtype=np.complex64)
+
+
+def span_chain_resumable(A, apply_span, n_spans: int, ckpt_dir: str,
+                         config: Optional[dict] = None):
+    """Run ``A -> apply_span(A, 0) -> ... -> apply_span(·, n_spans-1)``
+    with a checkpoint after every span; resume from the latest valid
+    checkpoint on rerun.
+
+    The long-haul span loop of a fused link (``RepeatSpec`` /
+    per-span FIBER+EDFA chains, BASELINE config 4) checkpoints at span
+    boundaries: each ``apply_span(field, span_idx)`` is typically one
+    jitted program (a whole span in-graph — SSFM scan + gain + keyed
+    ASE), and the field only touches the host at the boundary save.
+    Keyed per-span noise (``fold_in(key, span_idx)``) makes the resumed
+    run draw exactly the same ASE as the uninterrupted one, so
+    kill-and-resume is bit-exact (tested in tests/test_runtime.py).
+
+    ``A``: complex host/device array; returns the final field as a host
+    complex64 ndarray.
+    """
+    cfg = dict(config or {})
+    cfg.setdefault("kind", "span_chain")
+    cfg["n_spans"] = int(n_spans)
+    cfg["shape"] = list(np.shape(A))
+    ck = PropagationCheckpointer(ckpt_dir, config=cfg)
+
+    state = ck.latest()
+    if state is not None:
+        span0, _, re, im, _ = state
+        A = (re + 1j * im).astype(np.complex64)
+    else:
+        span0 = 0
+        A = np.asarray(A, dtype=np.complex64)
+
+    for s in range(span0, int(n_spans)):
+        A = np.asarray(apply_span(A, s), dtype=np.complex64)
+        ck.save(s + 1, float(s + 1), A.real, A.imag)
     return np.asarray(A, dtype=np.complex64)

@@ -40,25 +40,137 @@ def make_input():
     return optical_signal(x.astype(np.complex64))
 
 
-def main():
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def measure_config2():
     op = make_input()
-    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    # warmup-free: the reference has no compilation stage
-    times = []
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        out = FIBER(op, **CFG)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    wall = _timed(lambda: FIBER(op, **CFG))
+    return {"what": "FIBER 50 km NLSE adaptive", "n_samples": N,
+            "wall_s": wall, "samples_per_s": N / wall}
+
+
+def measure_config1():
+    """Back-to-back full chain at bench.py's config-1 size (2^18 bits x
+    64 sps): PRBS->DAC->LASER->MZM->PD(LPF) — the reference's staged
+    pipeline, no fiber (examples/ook_transmission_fiber_simulation.py
+    without the FIBER stage)."""
+    from opticomlib.devices import DAC, LASER, MZM, PD, PRBS
+
+    gv(sps=SPS, R=10e9, N=N_BITS)
+
+    def run():
+        tx = PRBS(order=15, len=N_BITS)
+        v = DAC(tx, Vpp=5, offset=-2.5, pulse_shape="gaussian")
+        mod = MZM(LASER(P0=16), v, bias=-2.5, Vpi=5, loss_dB=3, ER_dB=26)
+        PD(mod, BW=gv.R * 0.75, include_noise="all")
+
+    wall = _timed(run)
+    return {"what": "b2b chain PRBS->DAC->LASER->MZM->PD", "n_samples": N,
+            "wall_s": wall, "samples_per_s": N / wall}
+
+
+def measure_config3(n_sym=2**15, M=8, sps=32):
+    """PPM M=8 chain at bench.py's config-3 size: encoder->DAC->
+    20 km FIBER->PD->soft DSP."""
+    from opticomlib import binary_sequence
+    from opticomlib.devices import DAC, PD
+    from opticomlib.ppm import DSP, PPM_ENCODER
+
+    n_slots = n_sym * M
+    gv(sps=sps, R=10e9, N=n_slots, M=M)
+    rng = np.random.default_rng(3)
+    bits = binary_sequence(rng.integers(0, 2, n_sym * 3))
+
+    def run():
+        tx = PPM_ENCODER(bits, M)
+        v = DAC(tx, Vpp=1, pulse_shape="gaussian")
+        x = optical_signal(np.asarray(v.signal) * np.sqrt(2e-3))
+        y = FIBER(x, length=20, alpha=0.2, beta_2=-21.0, gamma=1.3)
+        pd = PD(y, BW=gv.R * 0.75, include_noise="all")
+        DSP(pd, M, decision="soft")
+
+    wall = _timed(run)
+    n = n_slots * sps
+    return {"what": "PPM8 chain encoder->DAC->FIBER 20km->PD->soft DSP",
+            "n_samples": n, "wall_s": wall, "samples_per_s": n / wall}
+
+
+def measure_config4(n=2**20, sps=16, n_spans=20, span_km=80.0):
+    """20x80 km + per-span DBP at bench.py's config-4 size."""
+    from opticomlib.devices import DBP
+
+    gv(sps=sps, R=10e9, N=n // sps)
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, n // sps)
+    A = (np.repeat(bits, sps) * np.sqrt(0.005)).astype(np.complex64)
+    gain = 10 ** (0.2 * span_km / 20)
+
+    def run():
+        x = optical_signal(A)
+        for _ in range(n_spans):
+            x = FIBER(x, length=span_km, alpha=0.2, beta_2=-21.0,
+                      gamma=1.3, phi_max=0.05)
+            x = optical_signal(np.asarray(x.signal) * gain)
+        for _ in range(n_spans):
+            x = optical_signal(np.asarray(x.signal) / gain)
+            x = DBP(x, length=span_km, alpha=0.2, beta_2=-21.0,
+                    gamma=1.3, phi_max=0.05)
+
+    wall = _timed(run)
+    return {"what": f"{n_spans}x{span_km:.0f} km + per-span DBP",
+            "n_samples": n, "wall_s": wall, "samples_per_s": n / wall}
+
+
+def measure_config5(n_ch=16, n=2**22, sps=16, h=1.0):
+    """16-channel WDM sweep at bench.py's config-5 per-chip size: the
+    reference has no batch axis — FIBER loops per channel."""
+    gv(sps=sps, R=10e9, N=n // sps)
+    rng = np.random.default_rng(5)
+    A = ((rng.integers(0, 2, (n_ch, n // 16)).repeat(16, axis=1))
+         * np.sqrt(0.002)).astype(np.complex64)
+
+    def run():
+        for c in range(n_ch):
+            FIBER(optical_signal(A[c]), length=50.0, alpha=0.2,
+                  beta_2=-21.0, gamma=1.3, h=h)
+
+    wall = _timed(run)
+    return {"what": "16x WDM FIBER 50 km fixed h=1 (per-channel loop)",
+            "n_samples": n_ch * n, "wall_s": wall,
+            "samples_per_s": n_ch * n / wall}
+
+
+def main():
+    run_all = "--all" in sys.argv
     result = {
         "what": "reference opticomlib FIBER, NumPy CPU backend",
         "config": CFG,
         "n_samples": N,
         "peak_power_W": PEAK_W,
-        "wall_s": best,
-        "samples_per_s": N / best,
         "host": "bench container CPU",
     }
+    if run_all:
+        configs = {}
+        for name, fn in [("config1_b2b_chain", measure_config1),
+                         ("config3_ppm8_chain", measure_config3),
+                         ("config4_dbp_20x80", measure_config4),
+                         ("config5_wdm16_per_chip", measure_config5),
+                         ("config2_ssfm_only", measure_config2)]:
+            print(f"measuring {name} ...", flush=True)
+            configs[name] = fn()
+            print(json.dumps(configs[name]), flush=True)
+        result["configs"] = configs
+        result["wall_s"] = configs["config2_ssfm_only"]["wall_s"]
+        result["samples_per_s"] = \
+            configs["config2_ssfm_only"]["samples_per_s"]
+    else:
+        c2 = measure_config2()
+        result["wall_s"] = c2["wall_s"]
+        result["samples_per_s"] = c2["samples_per_s"]
     print(json.dumps(result))
     with open("/root/repo/BASELINE_MEASURED.json", "w") as f:
         json.dump(result, f, indent=2)

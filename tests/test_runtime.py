@@ -86,3 +86,66 @@ def test_resumable_matches_straight_run(tmp_path):
     resumed = ssfm_propagate_resumable(A, w, length=4.0, ckpt_dir=d1,
                                        segment_km=1.0, **kw)
     np.testing.assert_allclose(resumed, straight, atol=1e-5)
+
+
+def test_span_chain_resumable_bitexact(tmp_path):
+    """Kill-and-resume at a span boundary of a per-span fused chain
+    (SSFM + gain + keyed ASE) reproduces the uninterrupted run
+    bit-for-bit (VERDICT round-2 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.ops import ssfm
+    from opticomlib_tpu.ops.noise import gaussian_inside
+    from opticomlib_tpu.runtime.checkpoint import (PropagationCheckpointer,
+                                                   span_chain_resumable)
+
+    n, fs, span_L = 2048, 160e9, 5.0
+    w = 2 * np.pi * np.fft.fftfreq(n) * fs
+    phi_w = jnp.asarray(ssfm.dispersion_phase(w, -21.0, 0.0))
+    hs = jnp.asarray(ssfm.ssfm_step_schedule(span_L, 0.5))
+    base = jax.random.PRNGKey(42)
+
+    @jax.jit
+    def span_prog(re, im, idx):
+        # one whole span in-graph: SSFM scan + gain + keyed per-span ASE
+        A = ssfm.ssfm_scan_inside(jax.lax.complex(re, im), phi_w, hs,
+                                  1.3, ssfm.alpha_per_km(0.2))
+        A = A * jnp.float32(10 ** (0.2 * span_L / 20))
+        d = gaussian_inside(jax.random.fold_in(base, idx), (2, n), 1e-4)
+        A = A + jax.lax.complex(d[0], d[1])
+        return A.real, A.imag
+
+    def apply_span(A, s):
+        re, im = span_prog(jnp.asarray(A.real), jnp.asarray(A.imag),
+                           jnp.uint32(s))
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    rng = np.random.default_rng(1)
+    A0 = (rng.normal(size=n) + 1j * rng.normal(size=n)
+          ).astype(np.complex64) * 0.1
+    cfg = dict(physics="test-span")
+
+    full = span_chain_resumable(A0, apply_span, 4,
+                                str(tmp_path / "full"), cfg)
+
+    crash_dir = str(tmp_path / "crash")
+    orig = PropagationCheckpointer.save
+    calls = {"n": 0}
+
+    def dying(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return out
+
+    PropagationCheckpointer.save = dying
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            span_chain_resumable(A0, apply_span, 4, crash_dir, cfg)
+    finally:
+        PropagationCheckpointer.save = orig
+
+    resumed = span_chain_resumable(A0, apply_span, 4, crash_dir, cfg)
+    np.testing.assert_array_equal(resumed, full)

@@ -958,6 +958,87 @@ class LinkProgram:
             mu0=mu0, mu1=mu1, s0=s0, s1=s1, er=er, eye_h=eye_h,
             n_channels=n_channels, tx=bits.astype(np.uint8))
 
+    def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
+                    bits=None, seed: int = 0, prbs_order: int = 15,
+                    mesh=None, axis: str = "wdm"):
+        """M-PPM WDM sweep: ``n_channels`` independent chains + fused PPM
+        receivers (soft SDD argmax decision + in-graph decode + BER),
+        vmapped into ONE XLA program — the PPM twin of :meth:`dsp_wdm`
+        (a PPM sweep previously required a host loop over
+        :meth:`dsp_ppm` calls).
+
+        ``bits``: (n_channels, n_sym*log2(M)) *information* bits (PRBS
+        segments by default), host-encoded once with ``PPM_ENCODER``.
+        Channel ``c`` uses key stream ``seed + c``.  ``mesh`` shards the
+        channel axis like :meth:`dsp_wdm`.
+        """
+        from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
+                                 sdd_positions_jax)
+
+        if decision.lower() != "soft":
+            raise NotImplementedError(
+                "dsp_wdm_ppm currently supports decision='soft' (the "
+                "hard path's per-channel eye metrology is available via "
+                "dsp_ppm per channel)")
+        if n_channels < 1:
+            raise ValueError("n_channels must be >= 1")
+        if M & (M - 1) != 0 or M < 2:
+            raise ValueError("`M` must be a power of 2.")
+        if self.n_bits % M != 0:
+            raise ValueError(
+                f"link carries {self.n_bits} slots, not a multiple of "
+                f"M={M}")
+        k = int(math.log2(M))
+        n_sym = self.n_bits // M
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=n_channels * n_sym * k)
+            bits = np.asarray(b.data, np.uint8).reshape(n_channels,
+                                                        n_sym * k)
+        bits = np.asarray(bits)
+        if bits.shape != (n_channels, n_sym * k):
+            raise ValueError(
+                f"bits must have shape {(n_channels, n_sym * k)}, got "
+                f"{bits.shape}")
+        slots_tx = np.stack([
+            np.asarray(PPM_ENCODER(bits[c], M).data, np.float32)
+            for c in range(n_channels)])
+
+        key = (n_channels, M,
+               None if mesh is None else (tuple(mesh.axis_names),
+                                          mesh.devices.shape))
+        cache = getattr(self, "_dsp_wdm_ppm_jitted", None)
+        if cache is None:
+            cache = self._dsp_wdm_ppm_jitted = {}
+        if key not in cache:
+            def one(slots_c, info_c, seed_c, consts):
+                v, slot_samp = self.fn(slots_c, seed_c, consts)[:2]
+                pos = sdd_positions_jax(slot_samp, M)
+                rx_bits = positions_to_bits_jax(pos, M)
+                return jnp.sum(rx_bits != info_c.astype(jnp.uint8))
+
+            cache[key] = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
+
+        slots_dev = jnp.asarray(slots_tx)
+        info_dev = jnp.asarray(bits.astype(np.float32))
+        seeds = jnp.uint32(np.arange(n_channels, dtype=np.uint32)
+                           + np.uint32(seed))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            slots_dev = jax.device_put(
+                slots_dev, NamedSharding(mesh, P(axis, None)))
+            info_dev = jax.device_put(
+                info_dev, NamedSharding(mesh, P(axis, None)))
+            seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
+
+        n_err = np.asarray(jax.device_get(
+            cache[key](slots_dev, info_dev, seeds,
+                       self.consts))).astype(np.int64)
+        return SimpleNamespace(
+            ber=n_err / (n_sym * k), n_errors=n_err, M=M,
+            decision="soft", n_channels=n_channels,
+            tx=bits.astype(np.uint8))
+
 
 def build_link(spec: LinkSpec, n_bits: int,
                params: Optional[SimParams] = None,

@@ -444,7 +444,15 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
                 "return_steps")
         from .parallel.fiber import shard_waveform, ssfm_sharded
 
-        A = input.to_numpy().astype(np.complex64)
+        # keep the waveform DEVICE-RESIDENT across staged mesh calls: a
+        # jax.Array payload (e.g. the previous FIBER(mesh=) output) goes
+        # straight back to the sharded solver — no host round-trip per
+        # stage (round-2 gathered to NumPy on both sides)
+        if isinstance(input.signal, jax.Array) and not _has_noise(
+                input.noise):
+            A = input.signal
+        else:
+            A = input.to_numpy().astype(np.complex64)
         wdm_axis = ("wdm" if "wdm" in mesh.shape and A.ndim == 2
                     and np.shape(A)[0] % mesh.shape["wdm"] == 0 else None)
         out = ssfm_sharded(
@@ -453,7 +461,7 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
             alpha=float(alpha), beta_2=float(beta_2), beta_3=float(beta_3),
             gamma=float(gamma), h=None if h is None else float(h),
             phi_max=float(phi_max), method=shard_method, wdm_axis=wdm_axis)
-        output = OpticalSignal(np.asarray(out), n_pol=input.n_pol)
+        output = OpticalSignal(out, n_pol=input.n_pol)
         output.execution_time = toc()
         return output
 

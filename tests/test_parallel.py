@@ -464,3 +464,31 @@ def test_ssfm_sharded_checkpoint_resume_bitexact(devices, tmp_path):
     with pytest.raises(ValueError, match="different"):
         bad = dict(cfg, gamma=2.0)
         ssfm_sharded(A, mesh, segment_km=2.0, ckpt_dir=crash_dir, **bad)
+
+
+def test_fiber_mesh_stays_device_resident(devices):
+    """Round 3: chained FIBER(mesh=) stages keep the waveform on-device
+    (jax.Array payload, no host gather between stages) and match the
+    host-gathered result."""
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import FIBER
+    from opticomlib_tpu.signals import OpticalSignal
+
+    gv(sps=16, R=10e9)
+    mesh = make_link_mesh(n_wdm=1, n_time=4, devices=devices[:4])
+    A = _bandlimited(2048, 21, 0.1)
+    cfg = dict(length=5.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.5,
+               mesh=mesh)
+
+    o1 = FIBER(OpticalSignal(A), **cfg)
+    assert isinstance(o1.signal, jax.Array)
+    o2 = FIBER(o1, **cfg)  # second stage consumes the device payload
+    assert isinstance(o2.signal, jax.Array)
+
+    w = _wgrid(2048, 160e9)
+    expect = ssfm.ssfm_propagate(
+        ssfm.ssfm_propagate(A, w, 5.0, alpha=0.2, beta_2=-21.0,
+                            gamma=1.3, h=0.5),
+        w, 5.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.5)
+    np.testing.assert_allclose(np.asarray(o2.signal).ravel(), expect,
+                               atol=5e-4 * np.max(np.abs(expect)))

@@ -611,6 +611,72 @@ class ShardedLinkProgram:
             ber=float(r.ber[0]), n_errors=int(r.n_errors[0]),
             threshold=float(r.threshold[0]), eye=Eye(eye_kw), tx=r.tx[0])
 
+    def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
+                    bits=None, seed: int = 0, prbs_order: int = 15):
+        """M-PPM WDM sweep on the mesh: sharded chains + fused
+        soft-decision receivers (SDD argmax -> decode -> BER), the
+        sharded twin of :meth:`LinkProgram.dsp_wdm_ppm`."""
+        from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
+                                 sdd_positions_jax)
+
+        if decision.lower() != "soft":
+            raise NotImplementedError(
+                "sharded dsp_wdm_ppm supports decision='soft'")
+        if M & (M - 1) != 0 or M < 2:
+            raise ValueError("`M` must be a power of 2.")
+        if self.n_bits % M != 0:
+            raise ValueError(
+                f"link carries {self.n_bits} slots, not a multiple of "
+                f"M={M}")
+        k = int(math.log2(M))
+        n_sym = self.n_bits // M
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=n_channels * n_sym * k)
+            bits = np.asarray(b.data, np.uint8).reshape(n_channels,
+                                                        n_sym * k)
+        bits = np.asarray(bits)
+        if bits.shape != (n_channels, n_sym * k):
+            raise ValueError(
+                f"bits must have shape {(n_channels, n_sym * k)}, got "
+                f"{bits.shape}")
+        slots_tx = np.stack([
+            np.asarray(PPM_ENCODER(bits[c], M).data, np.float32)
+            for c in range(n_channels)])
+
+        i_spec = (P(self.wdm_axis, None) if self.wdm_axis
+                  else P(None, None))
+        key = ("ppm", n_channels, M)
+        if key not in self._dsp_cache:
+
+            def prog(slots_in, info, seeds, consts):
+                slot_samp = self.fn(slots_in, seeds, consts)[1]
+                # per-symbol argmax wants whole symbols local: re-lay
+                # the (small) slot stream channel-sharded only
+                ss = jax.lax.with_sharding_constraint(
+                    slot_samp, NamedSharding(self.mesh, i_spec))
+
+                def one(s_c, i_c):
+                    pos = sdd_positions_jax(s_c, M)
+                    rb = positions_to_bits_jax(pos, M)
+                    return jnp.sum(rb != i_c.astype(jnp.uint8))
+
+                return jax.vmap(one)(ss, info)
+
+            self._dsp_cache[key] = jax.jit(prog)
+
+        seeds = np.arange(n_channels, dtype=np.uint32) + np.uint32(seed)
+        slots_d, seeds_d = self._place(slots_tx, seeds)
+        info_d = jax.device_put(
+            jnp.asarray(bits.astype(np.float32)),
+            NamedSharding(self.mesh, i_spec))
+        n_err = np.asarray(jax.device_get(self._dsp_cache[key](
+            slots_d, info_d, seeds_d, self.consts))).astype(np.int64)
+        return SimpleNamespace(ber=n_err / (n_sym * k), n_errors=n_err,
+                               M=M, decision="soft",
+                               n_channels=n_channels,
+                               tx=bits.astype(np.uint8))
+
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
                 prbs_order: int = 15, nslots: int = 8192,
                 sps_resamp: Optional[int] = None):

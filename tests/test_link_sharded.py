@@ -109,8 +109,7 @@ def test_sharded_dsp_wdm(params, mesh_wt):
     assert (sw.ber == 0).all()
     sw2 = pr.dsp_wdm(8, seed=0)
     np.testing.assert_array_equal(sw.n_errors, sw2.n_errors)
-    # identical bits + identical seeds -> identical channels
-    bits = np.tile(_BITS[None, :1024//1], (8, 1))[:, :1024] if False else None
+    # same bits on every channel still decode cleanly per channel
     b = np.random.default_rng(5).integers(0, 2, 1024).astype(np.uint8)
     same = pr.dsp_wdm(8, bits=np.tile(b, (8, 1)), seed=0)
     # different seeds per channel -> different noise, same clean decode
@@ -161,3 +160,21 @@ def test_sharded_run_gathers(params, mesh_t):
     assert r.v.shape == (N_BITS * SPS,)
     assert r.slots.shape == (N_BITS,)
     assert np.isfinite(r.v).all()
+
+
+def test_sharded_dsp_wdm_ppm(params, mesh_wt):
+    spec = _spec((FiberSpec(length=10, alpha=0.2, beta_2=-21.0, gamma=1.3,
+                            h=1.0),),
+                 include_thermal=True)
+    M, n_sym = 8, 64
+    prog = build_link(spec, n_sym * M, params=params, mesh=mesh_wt)
+    sw = prog.dsp_wdm_ppm(4, M=M, seed=0)
+    assert sw.ber.shape == (4,)
+    assert (sw.ber == 0).all()
+    sw2 = prog.dsp_wdm_ppm(4, M=M, seed=0)
+    np.testing.assert_array_equal(sw.n_errors, sw2.n_errors)
+    # unsharded program with the same bits decodes identically
+    # (noiseless TX slots; noise streams differ but both decode clean)
+    pr0 = build_link(spec, n_sym * M, params=params)
+    sw0 = pr0.dsp_wdm_ppm(4, M=M, bits=sw.tx, seed=0)
+    np.testing.assert_array_equal(sw0.ber, sw.ber)

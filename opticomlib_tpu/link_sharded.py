@@ -492,21 +492,26 @@ class ShardedLinkProgram:
                           consts_blk["H2_pd"]).real
             out = (v, v[..., instant::sps])
             if return_field_flag:
-                fr = field if field.ndim == 2 else field[:, 0]
-                out = out + (fr.real, fr.imag)
+                out = out + (field.real, field.imag)  # (lc[,2],block)
             return out
 
         # ------------------------------------------------------------------
         # jit wrapper: shard_map core + sharded input placement
         # ------------------------------------------------------------------
-        c_spec = P(None, t_ax)      # consts replicated over wdm
         if wdm_axis:
             in_bits = P(w_ax, t_ax)
             in_seeds = P(w_ax)
         else:
             in_bits = P(None, t_ax)
             in_seeds = P(None)
-        out_sp = (in_bits, in_bits) + ((in_bits, in_bits)
+        # does the channel promote to 2 polarizations (noisy EDFA)?
+        def _has_ase(sts):
+            return any((isinstance(s, EDFASpec) and s.NF is not None)
+                       or (isinstance(s, RepeatSpec) and _has_ase(s.stages))
+                       for s in sts)
+        two_pol = _has_ase(spec.stages)
+        field_sp = (P(*(in_bits[0], None, t_ax)) if two_pol else in_bits)
+        out_sp = (in_bits, in_bits) + ((field_sp, field_sp)
                                        if return_field else ())
 
         core_sharded = shard_map(

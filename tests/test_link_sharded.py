@@ -178,3 +178,13 @@ def test_sharded_dsp_wdm_ppm(params, mesh_wt):
     pr0 = build_link(spec, n_sym * M, params=params)
     sw0 = pr0.dsp_wdm_ppm(4, M=M, bits=sw.tx, seed=0)
     np.testing.assert_array_equal(sw0.ber, sw.ber)
+
+
+def test_sharded_return_field_two_pol(params, mesh_t):
+    spec = _spec((FiberSpec(length=10, alpha=0.2, beta_2=-21.0, gamma=1.3,
+                            h=1.0), EDFASpec(G=2.0, NF=5.0)))
+    pr = build_link(spec, N_BITS, params=params, mesh=mesh_t,
+                    return_field=True)
+    out = pr.jitted(_BITS, np.uint32([0]))
+    assert np.asarray(out[2]).shape == (1, 2, N_BITS * SPS)
+    assert np.isfinite(np.asarray(out[2])).all()

@@ -604,6 +604,12 @@ class ShardedLinkProgram:
             nslots: int = 8192, sps_resamp: Optional[int] = 128):
         """Fully-fused sharded OOK receiver: chain -> GET_EYE ->
         THRESHOLD_EST -> slicer -> BER, scalars-only readback."""
+        if self.n_wdm > 1:
+            raise ValueError(
+                f"dsp() is single-channel but the mesh has a "
+                f"'{self.wdm_axis}' axis of size {self.n_wdm}; use "
+                f"dsp_wdm(n_channels=k*{self.n_wdm}) or a mesh with "
+                "only a time axis")
         r = self.dsp_wdm(1, bits=None if bits is None else
                          np.atleast_2d(np.asarray(bits)), seed=seed,
                          prbs_order=prbs_order, nslots=nslots,

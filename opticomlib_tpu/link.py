@@ -47,7 +47,7 @@ Typical use::
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field as _dc_field
+from dataclasses import dataclass
 from types import SimpleNamespace
 from typing import Optional, Tuple, Union
 
@@ -292,6 +292,56 @@ def _pulse_taps(spec: LinkSpec, sps: int) -> np.ndarray:
     raise ValueError(f"unknown pulse_shape {spec.pulse_shape!r}")
 
 
+def _stage_plan(stages, f0: float, fs: float, *, fiber_extra, dm_const,
+                bpf_name, wrap_hs=lambda hs: hs):
+    """Shared spec -> per-stage-constants derivation for BOTH link
+    builders (LinkProgram and ShardedLinkProgram), so stage semantics
+    (DBP sign/undo-gain, EDFA ASE power, repeat/ASE detection, ...) live
+    in exactly one place.  The builders inject only their spectral-array
+    representation: ``fiber_extra(st)`` / ``dm_const(st)`` return extra
+    dict entries (e.g. a registered phase-array name, or the raw D for
+    in-graph evaluation), ``bpf_name(order, BW)`` registers a |H|^2
+    response, ``wrap_hs`` converts step schedules."""
+    def one(st):
+        if isinstance(st, FiberSpec):  # incl. DBPSpec
+            cc = {"kind": "fiber",
+                  "sgn": -1.0 if isinstance(st, DBPSpec) else 1.0,
+                  "a_km": ssfm.alpha_per_km(st.alpha),
+                  "hs": (None if st.h is None else
+                         wrap_hs(ssfm.ssfm_step_schedule(st.length,
+                                                         st.h))),
+                  "linear_only": (st.gamma == 0
+                                  or (st.beta_2 == 0 and st.beta_3 == 0))}
+            if isinstance(st, DBPSpec) and st.undo_gain_dB:
+                cc["pre_scale"] = float(idb(-st.undo_gain_dB) ** 0.5)
+            cc.update(fiber_extra(st))
+            return cc
+        if isinstance(st, EDFASpec):
+            cc = {"kind": "edfa", "sqrtG": float(idb(st.G) ** 0.5)}
+            if st.NF is not None:
+                if st.G <= 0:
+                    raise ValueError(
+                        "EDFASpec with ASE (NF set) needs G > 0 dB")
+                P_ase = idb(st.NF) * h_planck * f0 * (idb(st.G) - 1) * fs
+                cc["sigma_ase"] = float(np.sqrt(P_ase / 4))
+            if st.BW is not None:
+                cc["H2_name"] = bpf_name(st.filt_order, st.BW)
+            return cc
+        if isinstance(st, DMSpec):
+            return {"kind": "dm", **dm_const(st)}
+        if isinstance(st, BPFSpec):
+            return {"kind": "bpf", "H2_name": bpf_name(st.n, st.BW)}
+        if isinstance(st, RepeatSpec):
+            return {"kind": "repeat", "n": st.n,
+                    "sub": tuple(one(s) for s in st.stages),
+                    "needs_ase": any(
+                        isinstance(s, EDFASpec) and s.NF is not None
+                        for s in st.stages)}
+        raise ValueError(f"unsupported stage {st!r}")
+
+    return [one(s) for s in stages]
+
+
 def _circular_zero_phase_spectrum(h: np.ndarray, n: int) -> np.ndarray:
     """FFT spectrum of the kernel ``h`` centered at index 0 (zero phase),
     for length-``n`` circular convolution equivalent to 'same' linear
@@ -377,51 +427,16 @@ class LinkProgram:
                              jnp.asarray(filters.bessel_filtfilt_response(
                                  order, float(BW) / 2, fs, n)))
 
-        def _stage_const(st):
-            if isinstance(st, FiberSpec):  # incl. DBPSpec
-                cc = {
-                    "kind": "fiber",
-                    "sgn": -1.0 if isinstance(st, DBPSpec) else 1.0,
-                    "phi_name": _register(
-                        "phi_w", (st.beta_2, st.beta_3), lambda:
-                        jnp.asarray(ssfm.dispersion_phase(
-                            w, st.beta_2, st.beta_3))),
-                    "a_km": ssfm.alpha_per_km(st.alpha),
-                    "hs": (None if st.h is None else jnp.asarray(
-                        ssfm.ssfm_step_schedule(st.length, st.h))),
-                    "linear_only": (st.gamma == 0
-                                    or (st.beta_2 == 0 and st.beta_3 == 0)),
-                }
-                if isinstance(st, DBPSpec) and st.undo_gain_dB:
-                    cc["pre_scale"] = float(idb(-st.undo_gain_dB) ** 0.5)
-                return cc
-            if isinstance(st, EDFASpec):
-                cc = {"kind": "edfa", "sqrtG": float(idb(st.G) ** 0.5)}
-                if st.NF is not None:
-                    if st.G <= 0:
-                        raise ValueError(
-                            "EDFASpec with ASE (NF set) needs G > 0 dB")
-                    P_ase = idb(st.NF) * h_planck * params.f0 \
-                        * (idb(st.G) - 1) * fs
-                    cc["sigma_ase"] = float(np.sqrt(P_ase / 4))
-                if st.BW is not None:
-                    cc["H2_name"] = _bpf_const(st.filt_order, st.BW)
-                return cc
-            if isinstance(st, DMSpec):
-                return {"kind": "dm", "phi_name": _register(
-                    "phi_dm", (st.D,), lambda: jnp.asarray(
-                        ((w * 1e-12) ** 2 * st.D / 2).astype(np.float32)))}
-            if isinstance(st, BPFSpec):
-                return {"kind": "bpf", "H2_name": _bpf_const(st.n, st.BW)}
-            if isinstance(st, RepeatSpec):
-                return {"kind": "repeat", "n": st.n,
-                        "sub": tuple(_stage_const(s) for s in st.stages),
-                        "needs_ase": any(
-                            isinstance(s, EDFASpec) and s.NF is not None
-                            for s in st.stages)}
-            raise ValueError(f"unsupported stage {st!r}")
-
-        stage_consts = [_stage_const(st) for st in spec.stages]
+        stage_consts = _stage_plan(
+            spec.stages, params.f0, fs,
+            fiber_extra=lambda st: {"phi_name": _register(
+                "phi_w", (st.beta_2, st.beta_3), lambda:
+                jnp.asarray(ssfm.dispersion_phase(
+                    w, st.beta_2, st.beta_3)))},
+            dm_const=lambda st: {"phi_name": _register(
+                "phi_dm", (st.D,), lambda: jnp.asarray(
+                    ((w * 1e-12) ** 2 * st.D / 2).astype(np.float32)))},
+            bpf_name=_bpf_const, wrap_hs=jnp.asarray)
 
         S_T = (4 * kB * spec.pd_T * fs / 2 * idb(spec.pd_Fn) / spec.pd_R_load
                if spec.include_thermal else 0.0)

@@ -50,20 +50,19 @@ from __future__ import annotations
 
 import math
 from types import SimpleNamespace
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from scipy.constants import e, h as h_planck, k as kB, pi
+from scipy.constants import e, k as kB, pi
 
-from .link import (BPFSpec, DBPSpec, DMSpec, EDFASpec, FiberSpec, LinkSpec,
-                   RepeatSpec, _ook_rx_ingraph, _pulse_taps,
-                   _circular_zero_phase_spectrum)
+from .link import (EDFASpec, FiberSpec, LinkSpec, RepeatSpec,
+                   _ook_rx_ingraph, _pulse_taps,
+                   _circular_zero_phase_spectrum, _stage_plan)
 from .ops import filters, ssfm
-from .ops.eyeana import eye_metrics_jax
 from .ops.noise import gaussian_inside
 from .params import SimParams
 from .parallel.dfft import pencil_fft, pencil_ifft, strided_w_grid
@@ -152,7 +151,8 @@ class ShardedLinkProgram:
         Hp = _strided_permute(_circular_zero_phase_spectrum(hp, n), P_t)
         consts["Hp_re"] = Hp.real.astype(np.float32)
         consts["Hp_im"] = Hp.imag.astype(np.float32)
-        pulse_complex = bool(np.iscomplexobj(hp))
+        # (a chirped/complex pulse needs no special case here: the MZM
+        # drive is real, and Re{ifft} commutes with the AC-mean removal)
 
         consts["H2_pd"] = _strided_permute(np.asarray(
             filters.bessel_filtfilt_response(
@@ -171,43 +171,12 @@ class ShardedLinkProgram:
                 _h2_cache[key] = name
             return _h2_cache[key]
 
-        def _stage_const(st):
-            if isinstance(st, FiberSpec):  # incl. DBPSpec
-                cc = {"kind": "fiber",
-                      "sgn": -1.0 if isinstance(st, DBPSpec) else 1.0,
-                      "a_km": ssfm.alpha_per_km(st.alpha),
-                      "hs": (None if st.h is None else
-                             ssfm.ssfm_step_schedule(st.length, st.h)),
-                      "linear_only": (st.gamma == 0 or
-                                      (st.beta_2 == 0 and st.beta_3 == 0))}
-                if isinstance(st, DBPSpec) and st.undo_gain_dB:
-                    cc["pre_scale"] = float(idb(-st.undo_gain_dB) ** 0.5)
-                return cc
-            if isinstance(st, EDFASpec):
-                cc = {"kind": "edfa", "sqrtG": float(idb(st.G) ** 0.5)}
-                if st.NF is not None:
-                    if st.G <= 0:
-                        raise ValueError(
-                            "EDFASpec with ASE (NF set) needs G > 0 dB")
-                    P_ase = idb(st.NF) * h_planck * params.f0 \
-                        * (idb(st.G) - 1) * fs
-                    cc["sigma_ase"] = float(np.sqrt(P_ase / 4))
-                if st.BW is not None:
-                    cc["H2_name"] = _bpf_const(st.filt_order, st.BW)
-                return cc
-            if isinstance(st, DMSpec):
-                return {"kind": "dm", "D": float(st.D)}
-            if isinstance(st, BPFSpec):
-                return {"kind": "bpf", "H2_name": _bpf_const(st.n, st.BW)}
-            if isinstance(st, RepeatSpec):
-                return {"kind": "repeat", "n": st.n,
-                        "sub": tuple(_stage_const(s) for s in st.stages),
-                        "needs_ase": any(
-                            isinstance(s, EDFASpec) and s.NF is not None
-                            for s in st.stages)}
-            raise ValueError(f"unsupported stage {st!r}")
-
-        stage_consts = [_stage_const(st) for st in spec.stages]
+        stage_consts = _stage_plan(
+            spec.stages, params.f0, fs,
+            fiber_extra=lambda st: {},   # phi evaluated in-graph on the
+            # strided grid (strided_w_grid) — nothing registered
+            dm_const=lambda st: {"D": float(st.D)},
+            bpf_name=_bpf_const)
 
         # laser scalars (same derivations as the unsharded program)
         dt = 1.0 / fs
@@ -554,6 +523,12 @@ class ShardedLinkProgram:
         """Run the sharded chain and gather (v, slots) to host — use for
         verification at small n; production receivers should stay
         device-side via :meth:`dsp`/:meth:`dsp_wdm`."""
+        if bits is None or np.ndim(bits) == 1:
+            if self.n_wdm > 1:
+                raise ValueError(
+                    f"run() with a single channel needs a mesh without a "
+                    f"'{self.wdm_axis}' axis (or size 1); this mesh has "
+                    f"{self.n_wdm} — pass (k*{self.n_wdm}, n_bits) bits")
         if bits is None:
             from .ops.prbs import prbs as _prbs
             b, _ = _prbs(prbs_order, length=self.n_bits)
@@ -617,6 +592,11 @@ class ShardedLinkProgram:
         from .eyediag import Eye
         eye_kw = {k: (v[0] if isinstance(v, np.ndarray) else v)
                   for k, v in r.eye_fields.items()}
+        # NaN -> None normalization, matching LinkProgram.dsp (a
+        # degenerate eye reads the same whether or not a mesh was used)
+        for k in ("threshold", "y_left", "y_right"):
+            if eye_kw.get(k) is not None and np.isnan(eye_kw[k]):
+                eye_kw[k] = None
         eye_kw["dt"] = 1.0 / self.params.fs
         return SimpleNamespace(
             ber=float(r.ber[0]), n_errors=int(r.n_errors[0]),

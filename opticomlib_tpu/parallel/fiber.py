@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,7 +135,18 @@ def _pencil_propagate_fn(n_time: int, block: int, fs: float, alpha: float,
     return propagate
 
 
-_prog_cache: dict = {}
+from collections import OrderedDict
+
+_prog_cache: "OrderedDict" = OrderedDict()
+_PROG_CACHE_MAX = 32  # LRU bound: adaptive-overlap keys include the
+# power-derived halo step, so unbounded sweeps would leak executables
+
+
+def _prog_cache_put(key, prog):
+    _prog_cache[key] = prog
+    _prog_cache.move_to_end(key)
+    while len(_prog_cache) > _PROG_CACHE_MAX:
+        _prog_cache.popitem(last=False)
 
 
 def ssfm_sharded(
@@ -237,6 +248,7 @@ def ssfm_sharded(
                   if method == "overlap" else None))
     prog = _prog_cache.get(cache_key)
     if prog is not None:
+        _prog_cache.move_to_end(cache_key)
         return prog(A)
 
     if method == "pencil":
@@ -320,7 +332,8 @@ def ssfm_sharded(
 
     prog = _prog_cache.get(cache_key)
     if prog is None:
-        prog = _prog_cache[cache_key] = jax.jit(run)
+        prog = jax.jit(run)
+        _prog_cache_put(cache_key, prog)
     return prog(A)
 
 
@@ -341,6 +354,8 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
     cfg = dict(kind="ssfm_sharded", n=list(A.shape), fs=fs, length=length,
                alpha=alpha, beta_2=beta_2, beta_3=beta_3, gamma=gamma,
                h=h, phi_max=phi_max, method=method, segment_km=seg,
+               halo_safety=halo_safety, time_axis=time_axis,
+               wdm_axis=wdm_axis,
                mesh=[list(mesh.axis_names),
                      [int(d.id) for d in mesh.devices.flat]])
     ck = PropagationCheckpointer(ckpt_dir, config=cfg)

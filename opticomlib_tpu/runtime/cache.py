@@ -35,22 +35,28 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/opticomlib_tpu/xla")
 
 _enabled_dir: Optional[str] = None
 
+# env values that mean "yes, default directory" / "no, keep disabled" —
+# anything else is taken as a directory path
+_ENV_ON = ("1", "true", "True", "TRUE", "yes", "on")
+_ENV_OFF = ("", "0", "false", "False", "FALSE", "no", "off")
+
 
 def enable_cache(directory: Optional[str] = None,
                  min_compile_time_secs: float = 1.0) -> str:
     """Turn on JAX's persistent compilation cache.
 
     ``directory`` defaults to ``$OPTICOMLIB_TPU_CACHE`` (when set to a
-    path), else :data:`DEFAULT_CACHE_DIR`.  Programs whose compile takes
-    at least ``min_compile_time_secs`` are persisted (set 0 to persist
+    path; on/off-style values select/refuse the default directory), else
+    :data:`DEFAULT_CACHE_DIR`.  Programs whose compile takes at least
+    ``min_compile_time_secs`` are persisted (set 0 to persist
     everything).  Safe to call more than once; later calls may move the
     cache to a new directory.  Returns the directory in use.
     """
     global _enabled_dir
     if directory is None:
         env = os.environ.get("OPTICOMLIB_TPU_CACHE", "")
-        directory = env if env not in ("", "0", "1", "true", "True") \
-            else DEFAULT_CACHE_DIR
+        directory = (DEFAULT_CACHE_DIR
+                     if env in _ENV_ON or env in _ENV_OFF else env)
     directory = os.path.abspath(os.path.expanduser(directory))
     os.makedirs(directory, exist_ok=True)
 
@@ -76,6 +82,5 @@ def _maybe_enable_from_env() -> None:
     wins if both are set."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # JAX already configures itself from its own env var
-    val = os.environ.get("OPTICOMLIB_TPU_CACHE", "")
-    if val and val not in ("0", "false", "False"):
+    if os.environ.get("OPTICOMLIB_TPU_CACHE", "") not in _ENV_OFF:
         enable_cache()

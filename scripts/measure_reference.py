@@ -88,14 +88,18 @@ def measure_config3(n_sym=2**15, M=8, sps=32):
     def run():
         tx = PPM_ENCODER(bits, M)
         v = DAC(tx, Vpp=1, pulse_shape="gaussian")
-        x = optical_signal(np.asarray(v.signal) * np.sqrt(2e-3))
+        # ~20 mW peak launch — the SAME power as bench.py's config-3 TPU
+        # chain (P0=16 dBm, 3 dB MZM loss), so the adaptive step counts
+        # match and the ratio compares equal work
+        x = optical_signal(np.asarray(v.signal) * np.sqrt(0.02))
         y = FIBER(x, length=20, alpha=0.2, beta_2=-21.0, gamma=1.3)
         pd = PD(y, BW=gv.R * 0.75, include_noise="all")
         DSP(pd, M, decision="soft")
 
     wall = _timed(run)
     n = n_slots * sps
-    return {"what": "PPM8 chain encoder->DAC->FIBER 20km->PD->soft DSP",
+    return {"what": "PPM8 chain encoder->DAC->FIBER 20km->PD->soft DSP, "
+                    "20 mW launch (matches the TPU chain)",
             "n_samples": n, "wall_s": wall, "samples_per_s": n / wall}
 
 
@@ -125,21 +129,35 @@ def measure_config4(n=2**20, sps=16, n_spans=20, span_km=80.0):
             "n_samples": n, "wall_s": wall, "samples_per_s": n / wall}
 
 
-def measure_config5(n_ch=16, n=2**22, sps=16, h=1.0):
-    """16-channel WDM sweep at bench.py's config-5 per-chip size: the
-    reference has no batch axis — FIBER loops per channel."""
-    gv(sps=sps, R=10e9, N=n // sps)
-    rng = np.random.default_rng(5)
-    A = ((rng.integers(0, 2, (n_ch, n // 16)).repeat(16, axis=1))
-         * np.sqrt(0.002)).astype(np.complex64)
+def measure_config5(n_ch=16, n_bits=2**18, sps=16, n_measured=4):
+    """16-channel WDM sweep at bench.py's config-5 per-chip size and
+    WORK: per channel, the same receiver-complete chain bench.py's
+    `dsp_wdm` runs (PRBS bits -> DAC -> LASER 16 dBm -> MZM -> 50 km
+    adaptive FIBER -> PD -> ook.DSP).  The reference has no batch axis —
+    channels run as a host loop, embarrassingly independent — so
+    ``n_measured`` channels are timed and scaled to ``n_ch`` (recorded
+    in "what")."""
+    from opticomlib.devices import DAC, LASER, MZM, PD, PRBS
+    from opticomlib import ook
+
+    gv(sps=sps, R=10e9, N=n_bits)
 
     def run():
-        for c in range(n_ch):
-            FIBER(optical_signal(A[c]), length=50.0, alpha=0.2,
-                  beta_2=-21.0, gamma=1.3, h=h)
+        for c in range(n_measured):
+            tx = PRBS(order=15, len=n_bits)
+            v = DAC(tx, Vpp=5, offset=-2.5, pulse_shape="gaussian")
+            mod = MZM(LASER(P0=16), v, bias=-2.5, Vpi=5, loss_dB=3,
+                      ER_dB=26)
+            y = FIBER(mod, length=50.0, alpha=0.2, beta_2=-21.0,
+                      gamma=1.3)
+            pd = PD(y, BW=gv.R * 0.75, include_noise="all")
+            ook.DSP(pd)
 
-    wall = _timed(run)
-    return {"what": "16x WDM FIBER 50 km fixed h=1 (per-channel loop)",
+    wall = _timed(run) * (n_ch / n_measured)
+    n = n_bits * sps
+    return {"what": f"16x WDM receiver-complete chains (matches dsp_wdm "
+                    f"work); {n_measured} of {n_ch} independent channels "
+                    "timed and scaled",
             "n_samples": n_ch * n, "wall_s": wall,
             "samples_per_s": n_ch * n / wall}
 

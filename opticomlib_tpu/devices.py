@@ -71,7 +71,32 @@ def PRBS(order: int, len: Optional[int] = None, seed: Optional[int] = None,
 
     Bit-exact with the reference LFSR (golden vectors:
     reference tests/devices_test.py:55-69) but generated with the
-    O(log n)-step trinomial-squaring scheme of :func:`ops.prbs.prbs`.
+    O(log n)-step trinomial-squaring scheme of :func:`ops.prbs.prbs`
+    instead of a per-bit Python loop (reference devices.py:170-175).
+
+    Parameters
+    ----------
+    order : int
+        LFSR register length; one of {7, 9, 11, 15, 20, 23, 31}.  The
+        sequence period is ``2**order - 1``.
+    len : int, optional
+        Number of bits to emit (default: one full period).  Longer
+        requests wrap around the period.
+    seed : int, optional
+        Initial register state (non-zero, < 2**order); default is the
+        all-ones state the reference uses.
+    return_seed : bool, optional
+        Also return the final register state, to continue the stream in
+        a later call (``PRBS(order, len, seed=state)``).
+
+    Returns
+    -------
+    BinarySequence, or (BinarySequence, int) when ``return_seed``.
+
+    Examples
+    --------
+    >>> PRBS(order=7, len=8).data
+    array([1, 1, 1, 1, 1, 1, 1, 0], dtype=uint8)
     """
     tic()
     bits, state = prbs_ops.prbs(order, length=len, seed=seed)
@@ -90,7 +115,42 @@ def DAC(input, pulse_shape: str = "nrz", coupling: str = "DC",
         h=None, BW: Optional[float] = None, **kwargs) -> ElectricalSignal:
     """Digital-to-analog converter: bits -> pulse-shaped electrical signal
     sampled at ``gv.fs`` (upsample x ``gv.sps`` + FIR shaping via FFT
-    convolution on the accelerator)."""
+    convolution on the accelerator; reference devices.py:185-350).
+
+    Parameters
+    ----------
+    input : bits (str/list/ndarray/BinarySequence)
+        The symbol/slot sequence to shape.
+    pulse_shape : {'nrz', 'gaussian', 'rcos'}
+        FIR prototype: rectangular, (super-)Gaussian (``T`` FWHM slots,
+        order ``m``, chirp ``c``), or raised-cosine (``beta`` roll-off,
+        ``rcos_type`` 'normal'|'sqrt') — see :mod:`opticomlib_tpu.ops.
+        pulses` for the shape definitions.
+    coupling : {'DC', 'AC'}
+        'AC' removes the waveform mean after scaling.
+    Vpp, offset : float
+        Peak-to-peak scale and DC offset applied after shaping.
+    h : array_like, optional
+        Custom FIR taps — overrides ``pulse_shape``.
+    BW : float, optional
+        Post-shaping electrical bandwidth: a zero-phase Bessel low-pass
+        (same operator as :func:`LPF`).
+    **kwargs
+        Shape parameters (``T``, ``m``, ``c``, ``beta``, ``rcos_type``).
+
+    Returns
+    -------
+    ElectricalSignal
+        ``len(input) * gv.sps`` samples; ``execution_time`` attached.
+
+    Notes
+    -----
+    The convolution runs as an FFT product padded to a power of two on
+    the TPU backend — measured 13x faster than 5-smooth padding
+    (docs/performance.md).  For the fully fused TX path use
+    :func:`opticomlib_tpu.link.build_link`, which folds this shaping
+    into the one-program chain as a circular spectral multiply.
+    """
     tic()
     SHAPES = ["nrz", "gaussian", "rcos"]
 
@@ -179,10 +239,30 @@ def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
     ``2*pi*lw*dt`` per step, reference devices.py:485-490), Gaussian RIN
     (variance ``idb(rin)*fs``, devices.py:492-500), and frequency offset.
 
-    ``key``: optional ``jax.random`` key or int seed for **device-side,
-    reproducible** noise (see :mod:`opticomlib_tpu.rng`); also drawn
-    implicitly from the global stream after ``gv(seed=...)``.  Without a
-    key the reference's legacy host NumPy RNG is used.
+    Parameters
+    ----------
+    P0 : float
+        Average optical power [dBm]; the field amplitude is
+        ``sqrt(idbm(P0))``.
+    lw : float, optional
+        Lorentzian linewidth [Hz] -> random-walk phase with per-sample
+        increments N(0, ``2*pi*lw*dt``).
+    rin : float, optional
+        Relative intensity noise [dB/Hz]; amplitude modulated by
+        ``sqrt(1 + N(0, idb(rin)*fs))``.
+    df : float, optional
+        Carrier frequency offset [Hz]: multiplies ``exp(j*2*pi*df*t)``
+        on ``gv.t``.
+    key : jax key or int, optional
+        Optional ``jax.random`` key or int seed for **device-side,
+        reproducible** noise (see :mod:`opticomlib_tpu.rng`); also drawn
+        implicitly from the global stream after ``gv(seed=...)``.
+        Without a key the reference's legacy host NumPy RNG is used.
+
+    Returns
+    -------
+    OpticalSignal
+        ``gv.N * gv.sps`` complex samples, single polarization.
     """
     tic()
     t = gv.t
@@ -227,7 +307,11 @@ def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
 # PM (reference devices.py:513-617)
 # ---------------------------------------------------------------------------
 def PM(op_input: OpticalSignal, el_input, Vpi: float = 5.0) -> OpticalSignal:
-    """Optical phase modulator: ``E * exp(j*pi*u(t)/Vpi)``."""
+    """Optical phase modulator: ``E * exp(j*pi*u(t)/Vpi)``
+    (reference devices.py:513-617).  ``el_input`` may be a scalar
+    (static phase) or a waveform; the optical noise track is rotated by
+    the same phase.  In the fused link select it with
+    ``LinkSpec(modulator="pm")``."""
     tic()
     if not isinstance(op_input, OpticalSignal):
         raise TypeError("`op_input` must be of type 'optical_signal'.")
@@ -258,6 +342,24 @@ def MZM(op_input: OpticalSignal, el_input, bias: float = 0.0,
     ``h(t) = sqrt(loss) * [cos(g) + j*(eta/2)*sin(g)]``,
     ``g = pi*(u + bias)/(2*Vpi)``, ``eta = 2*10**(-ER/20)``
     (reference devices.py:762-768).
+
+    Parameters
+    ----------
+    op_input : OpticalSignal
+        Carrier field.
+    el_input : ElectricalSignal / array / scalar
+        Drive voltage u(t); the noise track (if any) modulates too.
+    bias, Vpi : float
+        DC bias [V] and half-wave voltage [V].  Quadrature operation:
+        ``bias = -Vpi/2`` with a ``[0, Vpi]`` drive swing.
+    loss_dB, ER_dB : float
+        Insertion loss and extinction ratio [dB]; min/max output power
+        is ``P0 - ER - loss`` / ``P0 - loss`` (the physics invariant
+        reference tests/devices_test.py:126-128 checks).
+    pol : {'x', 'y'}
+        With a 2-pol input, the unmodulated polarization is zeroed.
+    BW : float, optional
+        Output optical bandwidth (zero-phase Bessel, :func:`BPF`).
     """
     tic()
     if not isinstance(op_input, OpticalSignal):
@@ -332,8 +434,26 @@ def EDFA(input: OpticalSignal, G: float, NF: float,
     ``NF*h*f0*(G-1)*fs`` split over two polarizations x (re, im)
     (reference devices.py:930-936).
 
-    ``key``: optional key/seed for device-side reproducible ASE
-    (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
+    Parameters
+    ----------
+    input : OpticalSignal
+        Field to amplify; the output always carries 2 polarizations
+        (the orthogonal-pol ASE contributes direct-detected power and
+        ASE-ASE beat noise at the PD).
+    G, NF : float
+        Gain and noise figure [dB].
+    BW : float, optional
+        Output optical band-pass (zero-phase Bessel, :func:`BPF`;
+        reference devices.py:938-941).
+    key : jax key or int, optional
+        Key/seed for device-side reproducible ASE
+        (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
+
+    Returns
+    -------
+    OpticalSignal
+        2-pol field; ASE rides the ``.noise`` track so the PD can split
+        signal-ASE / ASE-ASE beats algebraically.
     """
     tic()
     if not isinstance(input, OpticalSignal):
@@ -374,7 +494,11 @@ def EDFA(input: OpticalSignal, G: float, NF: float,
 # ---------------------------------------------------------------------------
 def DM(input: OpticalSignal, D: float, retH: bool = False):
     """Pure dispersive medium: frequency-domain phase
-    ``H = exp(j*w^2*D/2)`` with ``D`` in [ps^2] (reference devices.py:1027)."""
+    ``H = exp(j*w^2*D/2)`` with ``D`` in [ps^2] (reference devices.py:1027).
+
+    ``D = -beta_2 * length`` exactly compensates a linear fiber span;
+    ``retH`` also returns the (fftshifted) response for inspection.
+    In the fused link this device is the ``DMSpec`` stage."""
     tic()
     if not isinstance(input, OpticalSignal):
         raise TypeError("`input` must be of type 'optical_signal'.")
@@ -428,7 +552,43 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
     (:func:`opticomlib_tpu.parallel.fiber.ssfm_sharded`), adaptive
     (``h=None``, per-step all-reduce(max)) or fixed-step.
     ``shard_method`` selects ``'pencil'`` (exact distributed FFT) or
-    ``'overlap'`` (halo exchange).
+    ``'overlap'`` (halo exchange).  A ``jax.Array`` signal payload stays
+    device-resident across chained mesh stages (no host round-trips).
+
+    Parameters
+    ----------
+    input : OpticalSignal
+        Field envelope A(t); 1 or 2 polarizations (last axis = time).
+    length : float
+        Span length [km].
+    alpha : float
+        Attenuation [dB/km] (power); the field decays ``exp(-a/2 z)``
+        with ``a = alpha / (10 log10 e)``.
+    beta_2, beta_3 : float
+        GVD [ps^2/km] and dispersion slope [ps^3/km].
+    gamma : float
+        Kerr nonlinearity [1/W/km].
+    phi_max : float
+        Adaptive-step bound: the per-step nonlinear phase rotation
+        ``gamma * max|A|^2 * h`` never exceeds this [rad].
+    h : float, optional
+        Fixed step [km]; ``None`` -> adaptive (the default).
+    return_steps : bool
+        Capture and return the whole (z, A(z)) trajectory instead
+        (host-stepped; reference devices.py:1149-1202).
+
+    Returns
+    -------
+    OpticalSignal (or ``(z, A_z)`` arrays when ``return_steps``).
+
+    Notes
+    -----
+    Step count scales as ``gamma * maxP * length / phi_max``; each step
+    costs two full-length complex FFTs plus fused pointwise work —
+    ~14 M samples/s at 2^24 samples on one TPU chip (docs/
+    performance.md).  For checkpoint/resume of very long spans see
+    :func:`opticomlib_tpu.runtime.ssfm_propagate_resumable` (host path)
+    and ``ssfm_sharded(ckpt_dir=...)`` (mesh path).
     """
     tic()
     if not isinstance(input, OpticalSignal):
@@ -522,7 +682,11 @@ def DBP(input: OpticalSignal, length: float, alpha: float = 0.0,
         show_progress: bool = False, return_steps: bool = False,
         method: str = "reference", tol: float = 1e-5):
     """Digital back-propagation: FIBER with all operator signs inverted
-    (reference devices.py:1280-1283)."""
+    (alpha -> -alpha, beta -> -beta, gamma -> -gamma; reference
+    devices.py:1280-1283) — the receiver-side equalizer that undoes a
+    span's dispersion and Kerr rotation.  ``DBP(FIBER(x)) ~= x`` to the
+    splitting error (tested; see also the fused ``DBPSpec`` stage and
+    docs/performance.md's long-haul accuracy study)."""
     return FIBER(input, length=length, alpha=-alpha, beta_2=-beta_2,
                  beta_3=-beta_3, gamma=-gamma, phi_max=phi_max, h=h,
                  show_progress=show_progress, return_steps=return_steps,
@@ -535,7 +699,23 @@ def DBP(input: OpticalSignal, length: float, alpha: float = 0.0,
 def LPF(input, BW: float, n: int = 4, fs: Optional[float] = None,
         retH: bool = False):
     """Electrical low-pass: n-th order Bessel, zero-phase, real output.
-    FFT-domain filtfilt-equivalent (see ops/filters.py)."""
+    FFT-domain filtfilt-equivalent (see ops/filters.py).
+
+    Parameters
+    ----------
+    input : ElectricalSignal / array
+        1-D waveform; signal and noise tracks are filtered alike.
+    BW : float
+        Cutoff frequency [Hz] (magnitude-normalized Bessel design, the
+        reference's ``norm='mag'``; reference devices.py:1286-1375).
+    n : int
+        Filter order.
+    fs : float, optional
+        Sampling rate override (default ``gv.fs``).
+    retH : bool
+        Also return the one-pass response H(w) on the fftshifted grid
+        (for :func:`opticomlib_tpu.bode`).
+    """
     tic()
     if not isinstance(input, ElectricalSignal):
         input = ElectricalSignal(input)
@@ -575,8 +755,34 @@ def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
     as Gaussians (devices.py:1521-1527); output is the voltage ``i*R_L``
     low-pass filtered to ``BW``.
 
-    ``key``: optional key/seed for device-side reproducible thermal/shot
-    noise (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
+    Parameters
+    ----------
+    input : OpticalSignal
+        Incident field (1 or 2 polarizations; both are detected).
+    BW : float
+        Electrical bandwidth [Hz] — the noise-equivalent bandwidth of
+        the draws and the cutoff of the output Bessel low-pass.
+    r : float
+        Responsivity [A/W], in (0, 1].
+    T, R_load, Fn : float
+        Temperature [K], load resistance [ohm], and electrical noise
+        figure [dB] for the thermal term.
+    include_noise : str
+        Any combination of {'ase', 'thermal', 'shot'} joined by '-',
+        'all', or 'none' — selects which noise contributions survive
+        (reference devices.py:1484-1512 menu).
+    i_dark : float
+        Dark current [A], folded into the shot term and the DC level.
+    key : jax key or int, optional
+        Key/seed for device-side reproducible thermal/shot noise
+        (see :mod:`opticomlib_tpu.rng`); legacy NumPy RNG otherwise.
+
+    Returns
+    -------
+    ElectricalSignal
+        Filtered voltage; the deterministic part rides ``.signal`` and
+        the noise track rides ``.noise`` (so eye/BER analytics can
+        split them).
     """
     tic()
     if not isinstance(input, OpticalSignal):
@@ -666,7 +872,22 @@ def ADC(input, fs: Optional[float] = None, n: int = 8,
         otype: str = "v") -> ElectricalSignal:
     """Analog-to-digital converter: optional FFT resampling to ``fs`` then
     uniform ``n``-bit quantization over the robust 99.99% shortest-interval
-    range (reference devices.py:1616-1627)."""
+    range (reference devices.py:1616-1627).
+
+    Parameters
+    ----------
+    input : ElectricalSignal / array
+        Waveform to digitize (real part is quantized).
+    fs : float, optional
+        Resample to this rate first (``scipy.signal.resample``
+        semantics via :func:`ops.pulses.resample_fft`).
+    n : int
+        Bits of resolution (2**n uniform codes across the robust
+        range; out-of-range samples extrapolate like the reference —
+        no clipping).
+    otype : {'v', 'n'}
+        Output as reconstructed volts or as integer code numbers.
+    """
     tic()
     if not isinstance(input, ElectricalSignal):
         input = ElectricalSignal(input)
@@ -707,6 +928,28 @@ def GET_EYE(input, nslots: int = 4096,
     only scalars and the rendering traces come back to the host.  ``"auto"``
     picks the device when the signal payload is already a ``jax.Array``
     (e.g. the output of a fused link program), the host otherwise.
+
+    Parameters
+    ----------
+    input : ElectricalSignal / ndarray / jax.Array
+        Waveform at ``gv.sps`` samples per slot.
+    nslots : int
+        Maximum number of slots fed to the estimator (the reference
+        default analysis window; reference devices.py:1731-1740).
+    sps_resamp : int, optional
+        FFT-resample each trace to this many samples/slot before
+        estimation (finer crossing/threshold localization).
+
+    Returns
+    -------
+    Eye
+        Estimated parameters — level means/sigmas (``mu0/mu1/s0/s1``),
+        crossing times (``t_left/t_right/t_opt``), extinction ratio
+        ``er`` [dB], eye opening ``eye_h``, KDE-minimum decision
+        ``threshold`` — plus the rendering traces for
+        :meth:`Eye.plot`.  Pipeline: amplitude split -> shortest-50%
+        intervals -> crossing-band clustering -> +/-5% window stats ->
+        KDE threshold (same stages as reference devices.py:1635-1868).
     """
     tic()
     if isinstance(input, np.ndarray) and input.ndim > 2:
@@ -753,7 +996,10 @@ def GET_EYE(input, nslots: int = 4096,
 # SAMPLER (reference devices.py:1871-1891)
 # ---------------------------------------------------------------------------
 def SAMPLER(input: ElectricalSignal, instant: int) -> ElectricalSignal:
-    """Downsample to 1 sample/slot: ``input[instant::gv.sps]``."""
+    """Downsample to 1 sample/slot: ``input[instant::gv.sps]``
+    (reference devices.py:1871-1891).  ``instant`` is the intra-slot
+    sampling phase in samples — receivers use the eye's optimum
+    ``i = (t_opt + 0.5) * sps`` or simply ``sps // 2``."""
     tic()
     output = ElectricalSignal(input)[instant::gv.sps]
     output.execution_time = toc()
@@ -910,6 +1156,38 @@ def FBG(input: OpticalSignal, neff: float = 1.45, v: float = 1.0,
     reference's ``solve_ivp`` RK45 host loop (devices.py:2197-2255).  The
     step count is chosen from the maximum detuning so the fastest phase
     rotation is resolved.
+
+    Parameters
+    ----------
+    input : OpticalSignal
+        Field to reflect off the grating.
+    neff, v : float
+        Effective index and fringe visibility.
+    landa_D / fc : float
+        Design wavelength [m] or center frequency [Hz] (give one).
+    kL / dneff / vdneff : float
+        Coupling strength — give exactly one of the normalized coupling
+        ``kL``, the index modulation ``dneff``, or ``v*dneff``
+        (the reference's parameter-resolution tree,
+        devices.py:2099-2176).
+    L / N : float / int
+        Grating length [m] or number of periods (give one).
+    apodization : str or callable
+        'uniform' | 'rcos' | 'gaussian' | 'parabolic', or a custom
+        profile ``f(z)`` on z in [-1/2, 1/2].
+    F : float
+        Linear chirp parameter.
+    filtfilt : bool
+        Remove the group-delay slope (zero-phase response) like the
+        reference's ``filtfilt`` pass (devices.py:2308-2311).
+    retH : bool
+        Also return the (fftshifted) reflection response H(w).
+
+    Returns
+    -------
+    OpticalSignal (and H when ``retH``); prints the resolved design
+    (period, N, L, BW, peak reflectivity, loss, D at center) when
+    ``print_params``.
     """
     tic()
     if not isinstance(input, OpticalSignal):

@@ -149,3 +149,40 @@ def test_span_chain_resumable_bitexact(tmp_path):
 
     resumed = span_chain_resumable(A0, apply_span, 4, crash_dir, cfg)
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_enable_cache_env_handling(tmp_path, monkeypatch):
+    """on/off-style env values select/refuse the default dir; a path
+    value becomes the cache dir (round-3 review fix)."""
+    import jax
+
+    from opticomlib_tpu.runtime import cache as rc
+
+    d = tmp_path / "xla"
+    monkeypatch.setattr(rc, "DEFAULT_CACHE_DIR", str(tmp_path / "default"))
+
+    # explicit dir
+    got = rc.enable_cache(str(d))
+    assert got == str(d) and d.is_dir()
+    assert rc.cache_dir() == str(d)
+    assert jax.config.jax_compilation_cache_dir == str(d)
+
+    # env path
+    monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", str(tmp_path / "envdir"))
+    assert rc.enable_cache().endswith("envdir")
+
+    # on-style values -> default dir, never a dir literally named 'true'
+    for v in ("1", "true", "yes"):
+        monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
+        assert rc.enable_cache() == str(tmp_path / "default")
+
+    # off-style values in the import hook -> no call
+    calls = []
+    monkeypatch.setattr(rc, "enable_cache", lambda *a, **k: calls.append(1))
+    for v in ("", "0", "false", "off"):
+        monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
+        rc._maybe_enable_from_env()
+    assert not calls
+    monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", "1")
+    rc._maybe_enable_from_env()
+    assert calls == [1]

@@ -43,6 +43,15 @@ Typical use::
     prog = build_link(spec, n_bits=2**16)        # compiles once
     res = prog.run(seed=42)                       # PRBS -> ... -> RX
     ber = res.ber()                               # eye-threshold decision
+
+Round-3 stage vocabulary (all in-graph): ``DMSpec`` (dispersion
+compensation), ``BPFSpec``, ``DBPSpec`` (back-propagation with
+``undo_gain_dB``), ``EDFASpec(NF=None)`` (noiseless gain/attenuator)
+with optional output ``BW``, and ``RepeatSpec(n, stages)`` — N
+identical spans lowered to ONE ``lax.scan``.  ``modulator="pm"``
+selects a phase modulator; ``adc_bits`` adds an in-graph ADC.  Pass
+``mesh=`` to :func:`build_link` for the SHARDED fused link
+(:mod:`opticomlib_tpu.link_sharded`).
 """
 from __future__ import annotations
 

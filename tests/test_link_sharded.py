@@ -188,3 +188,45 @@ def test_sharded_return_field_two_pol(params, mesh_t):
     out = pr.jitted(_BITS, np.uint32([0]))
     assert np.asarray(out[2]).shape == (1, 2, N_BITS * SPS)
     assert np.isfinite(np.asarray(out[2])).all()
+
+
+def test_sharded_per_channel_adaptive_stepping(params, mesh_wt):
+    """Channels with different launch powers must each follow their OWN
+    phi_max step schedule (masked multi-channel while_loop): every
+    channel of a sharded 2-channel run equals its unsharded single
+    -channel twin (different P0 -> very different step counts)."""
+    fib = FiberSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3)
+    spec = _spec((fib,))
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (8, N_BITS)).astype(np.float32)
+    pr_sh = build_link(spec, N_BITS, params=params, mesh=mesh_wt)
+    v_sh = np.asarray(pr_sh.jitted(bits, np.zeros(8, np.uint32))[0])
+    pr0 = build_link(spec, N_BITS, params=params)
+    for c in (0, 3, 7):
+        v0 = np.asarray(pr0.jitted(jnp.asarray(bits[c]),
+                                   jnp.uint32(0))[0])
+        assert np.max(np.abs(v_sh[c] - v0)) < 2e-5 * np.max(np.abs(v0)), c
+
+
+def test_sharded_longhaul_repeat_dbp_roundtrip(params, mesh_t):
+    """Multi-span RepeatSpec + per-span DBP on the mesh inverts the link
+    (the sharded twin of the config-4 shape, scaled down)."""
+    L, G = 20.0, 4.0
+    fwd = RepeatSpec(4, (
+        FiberSpec(length=L, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.5),
+        EDFASpec(G=G)))
+    bwd = RepeatSpec(4, (
+        DBPSpec(length=L, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.5,
+                undo_gain_dB=G),))
+    f0 = None
+
+    def field(stages):
+        pr = build_link(_spec(stages), N_BITS, params=params, mesh=mesh_t,
+                        return_field=True)
+        out = pr.jitted(_BITS, np.uint32([0]))
+        return np.asarray(out[2])[0] + 1j * np.asarray(out[3])[0]
+
+    f_rt = field((fwd, bwd))
+    f_b2b = field(())
+    err = np.max(np.abs(f_rt - f_b2b)) / np.max(np.abs(f_b2b))
+    assert err < 5e-3, err

@@ -211,8 +211,9 @@ class Eye:
             # Fold the trace into two-slot windows (drop the half-slot
             # roll-in/out so every window is complete) and rasterize an
             # occupancy map on a 256x256 grid — enough that one grid cell
-            # is well below a slot width at any plot size.
-            sps = int(self.sps)
+            # is well below a slot width at any plot size.  The traces
+            # carry sps_resamp samples/slot when GET_EYE interpolated.
+            sps = int(self.sps_resamp or self.sps)
             y_ = np.roll(np.asarray(self.y), -sps // 2)[sps // 2:-sps // 2]
             t_ = np.asarray(self.t)[:-sps]
 

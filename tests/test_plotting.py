@@ -121,3 +121,28 @@ def test_eye_plot_annotated_options(tmp_path):
     with _pytest.raises(ValueError):
         Eye({}).plot()
     gv.default()
+
+
+def test_eye_plot_trace_window_uses_resampled_sps():
+    """With sps_resamp, the per-trace renderer must fold windows at the
+    TRACE sampling (round-3 fix: windows at the signal sps drew only
+    half the eye)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.collections import LineCollection
+
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import DAC, GET_EYE, PRBS
+
+    gv(sps=16, R=10e9, N=256)
+    v = DAC(PRBS(order=9, len=256), Vpp=1, pulse_shape="gaussian")
+    e = GET_EYE(v, nslots=128, sps_resamp=64)
+    fig, ax = plt.subplots()
+    e.plot(smooth=False, ax=ax)
+    lcs = [c for c in ax.collections if isinstance(c, LineCollection)]
+    assert lcs, "per-trace path must add a LineCollection"
+    segs = np.concatenate([np.asarray(c.get_segments()) for c in lcs])
+    xs = segs[..., 0]
+    assert xs.min() <= -0.9 and xs.max() >= 0.9, (xs.min(), xs.max())
+    plt.close(fig)

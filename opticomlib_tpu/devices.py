@@ -472,7 +472,7 @@ def EDFA(input: OpticalSignal, G: float, NF: float,
             noi[1] = 0
             output.noise = noi
 
-    P_ase = idb(NF) * h * gv.f0 * (idb(G) - 1) * gv.fs
+    P_ase = noise_ops.ase_power(G, NF, gv.f0, gv.fs)
     key = rng.resolve(key)
     if key is not None:
         ase = noise_ops.ase_draws(key, input.size, P_ase)

@@ -67,7 +67,7 @@ from scipy.constants import e, h as h_planck, k as kB, pi
 
 from .ops import filters, pulses, ssfm
 from .ops.eyeana import _shortest_int_masked, eye_metrics_jax
-from .ops.noise import gaussian_inside, wiener_phase_inside
+from .ops.noise import ase_sigma, gaussian_inside, wiener_phase_inside
 from .params import SimParams, gv
 from .signals import BinarySequence, ElectricalSignal
 from .utils.analysis import idb, idbm
@@ -331,8 +331,7 @@ def _stage_plan(stages, f0: float, fs: float, *, fiber_extra, dm_const,
                 if st.G <= 0:
                     raise ValueError(
                         "EDFASpec with ASE (NF set) needs G > 0 dB")
-                P_ase = idb(st.NF) * h_planck * f0 * (idb(st.G) - 1) * fs
-                cc["sigma_ase"] = float(np.sqrt(P_ase / 4))
+                cc["sigma_ase"] = ase_sigma(st.G, st.NF, f0, fs)
             if st.BW is not None:
                 cc["H2_name"] = bpf_name(st.filt_order, st.BW)
             return cc

@@ -62,6 +62,30 @@ def wiener_phase(key, n: int, sigma_step: float) -> np.ndarray:
     return np.asarray(_wiener(key, int(n), float(sigma_step)))
 
 
+def ase_power(G_dB: float, NF_dB: float, f0: float, fs: float) -> float:
+    """Total EDFA ASE noise power ``idb(NF)·h·f0·(G−1)·fs`` [W].
+
+    The one place the amplifier noise physics lives (reference
+    devices.py:930-936); :func:`ase_sigma` derives the per-quadrature
+    standard deviation from it.  Used by ``devices.EDFA``, the fused
+    link's ``_stage_plan`` and ``parallel.span_pipeline`` so the three
+    paths cannot drift apart.
+    """
+    from scipy.constants import h as h_planck
+    G_lin = 10.0 ** (G_dB / 10.0)
+    if G_lin < 1.0:
+        # the reference's formula would yield negative power (NaN sigma);
+        # fail loudly instead.  G = 0 dB is allowed and gives P_ase = 0.
+        raise ValueError("ASE requires gain >= 0 dB (got negative power)")
+    return 10.0 ** (NF_dB / 10.0) * h_planck * f0 * (G_lin - 1.0) * fs
+
+
+def ase_sigma(G_dB: float, NF_dB: float, f0: float, fs: float) -> float:
+    """Per-quadrature ASE standard deviation: ``P_ase`` split over 2
+    polarizations × (re, im) quadratures → ``sqrt(P_ase/4)``."""
+    return float(np.sqrt(ase_power(G_dB, NF_dB, f0, fs) / 4.0))
+
+
 def ase_draws(key, n: int, P_ase: float) -> np.ndarray:
     """EDFA ASE field noise: complex Gaussian in 2 polarizations.
 

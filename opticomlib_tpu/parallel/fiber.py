@@ -217,13 +217,17 @@ def ssfm_sharded(
         # linear-only: single step over the whole span (reference h0=length)
         h, adaptive = length, False
     if adaptive:
-        # worst-case adaptive step (for the overlap halo width and h cap):
-        # maxP(z) >= maxP0 * e^(-alpha*L), so h(z) <= h0 * e^(+alpha*L)
-        maxP0_host = float(jnp.max(A.real**2 + A.imag**2))
-        h0_host = min(phi_max / (abs(gamma) * maxP0_host), length)
-        h_cap = min(length,
-                    h0_host * math.exp(alpha_per_km(alpha) * length))
-        h_for_halo = h_cap
+        if method == "overlap":
+            # worst-case adaptive step (sizes the overlap halo):
+            # maxP(z) >= maxP0 * e^(-alpha*L), so h(z) <= h0 * e^(+alpha*L).
+            # This is the only place the input must be read back to host —
+            # the pencil path never does, so its cache hits launch sync-free.
+            maxP0_host = float(jnp.max(A.real**2 + A.imag**2))
+            h0_host = min(phi_max / (abs(gamma) * maxP0_host), length)
+            h_for_halo = min(length,
+                             h0_host * math.exp(alpha_per_km(alpha) * length))
+        else:
+            h_for_halo = None
     else:
         h_for_halo = h
     hs = ssfm_step_schedule(length, h if not adaptive else length)
@@ -312,7 +316,7 @@ def ssfm_sharded(
                 y, _ = ssfm_while_inside(
                     x, None, length, gamma, phi_max, h0, alpha_lin,
                     adaptive=True, reduce_max=reduce_max,
-                    linear_step=linear_step, h_max=h_cap)
+                    linear_step=linear_step, h_max=h_for_halo)
                 return y
         else:
             propagate = _overlap_propagate_fn(phi_pad, alpha_per_km(alpha),
@@ -346,27 +350,50 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
     rerun with the same directory+physics resumes from the latest valid
     checkpoint — the resumed output is bit-identical to the
     uninterrupted segmented run (both re-probe the adaptive h0 at each
-    segment boundary from the same field)."""
+    segment boundary from the same field).
+
+    Multi-host safe: with >1 JAX process each host writes only its
+    addressable shards (``shard=process_index`` files, the standard
+    per-host checkpoint pattern) and resumes by reassembling a global
+    array from them — the global field is never gathered to one host."""
     from ..runtime.checkpoint import PropagationCheckpointer
 
     seg = float(segment_km) if segment_km else float(length)
-    A = jnp.asarray(A, dtype=jnp.complex64)
-    cfg = dict(kind="ssfm_sharded", n=list(A.shape), fs=fs, length=length,
+    nproc = jax.process_count()
+    shape = tuple(A.shape)
+    ndim = len(shape)
+    cfg = dict(kind="ssfm_sharded", n=list(shape), fs=fs, length=length,
                alpha=alpha, beta_2=beta_2, beta_3=beta_3, gamma=gamma,
                h=h, phi_max=phi_max, method=method, segment_km=seg,
                halo_safety=halo_safety, time_axis=time_axis,
                wdm_axis=wdm_axis,
                mesh=[list(mesh.axis_names),
                      [int(d.id) for d in mesh.devices.flat]])
-    ck = PropagationCheckpointer(ckpt_dir, config=cfg)
+    ck = PropagationCheckpointer(
+        ckpt_dir, config=cfg,
+        shard=jax.process_index() if nproc > 1 else None)
+    sharding = NamedSharding(
+        mesh, P("time") if ndim == 1
+        else P(None if wdm_axis is None else wdm_axis, "time"))
+
     state = ck.latest()
     if state is not None:
-        step, z, re, im, _ = state
-        A = jnp.asarray(re + 1j * im, dtype=jnp.complex64)
+        step, z, re, im, extra = state
+        if nproc == 1:
+            A = shard_waveform(
+                np.asarray(re + 1j * im, dtype=np.complex64), mesh,
+                wdm_axis=None if ndim == 1 else wdm_axis)
+        else:
+            A = _assemble_from_host_shards(re, im, extra["indices"],
+                                           shape, sharding)
     else:
         step, z = 0, 0.0
-    A = shard_waveform(np.asarray(A), mesh,
-                       wdm_axis=None if A.ndim == 1 else wdm_axis)
+        if isinstance(A, jax.Array) and not A.is_fully_addressable:
+            A = jax.device_put(A, sharding)  # already global: just re-lay
+        else:
+            A = shard_waveform(
+                np.asarray(jnp.asarray(A, dtype=jnp.complex64)), mesh,
+                wdm_axis=None if ndim == 1 else wdm_axis)
     while z < length - 1e-9:
         this = min(seg, length - z)
         A = ssfm_sharded(A, mesh, fs, this, alpha=alpha, beta_2=beta_2,
@@ -375,6 +402,46 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
                          time_axis=time_axis, wdm_axis=wdm_axis)
         z += this
         step += 1
-        A_host = np.asarray(A)
-        ck.save(step, z, A_host.real, A_host.imag)
+        if nproc == 1:
+            A_host = np.asarray(A)
+            ck.save(step, z, A_host.real, A_host.imag)
+        else:
+            blocks, indices = _host_shard_blocks(A)
+            ck.save(step, z, blocks.real, blocks.imag,
+                    extra={"indices": indices})
     return A
+
+
+def _host_shard_blocks(A):
+    """This host's addressable shards of a global array, stacked in a
+    deterministic order, plus their global index bounds (JSON-friendly)."""
+    def bounds(idx):
+        return [[0 if s.start is None else int(s.start),
+                 int(s.stop) if s.stop is not None else -1] for s in idx]
+
+    shards = sorted(A.addressable_shards, key=lambda s: bounds(s.index))
+    # deduplicate replicated placements (same global slice on >1 local device)
+    seen, blocks, indices = set(), [], []
+    for s in shards:
+        key = tuple(map(tuple, bounds(s.index)))
+        if key in seen:
+            continue
+        seen.add(key)
+        blocks.append(np.asarray(s.data))
+        indices.append(bounds(s.index))
+    return np.stack(blocks), indices
+
+
+def _assemble_from_host_shards(re, im, indices, shape, sharding):
+    """Rebuild a global sharded array from this host's checkpointed
+    blocks (inverse of :func:`_host_shard_blocks`)."""
+    by_index = {tuple(map(tuple, idx)): re[k] + 1j * im[k]
+                for k, idx in enumerate(indices)}
+    arrays = []
+    for dev, idx in sharding.addressable_devices_indices_map(shape).items():
+        key = tuple((0 if s.start is None else int(s.start),
+                     int(s.stop) if s.stop is not None else -1)
+                    for s in idx)
+        block = np.asarray(by_index[key], dtype=np.complex64)
+        arrays.append(jax.device_put(block, dev))
+    return jax.make_array_from_single_device_arrays(shape, sharding, arrays)

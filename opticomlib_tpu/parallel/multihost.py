@@ -48,11 +48,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    try:
+    # jax.distributed.initialize raises on a second call (its message
+    # varies across versions and never says "already initialized"), so
+    # idempotency is an explicit state check, not message matching.
+    already = False
+    if hasattr(jax.distributed, "is_initialized"):
+        already = jax.distributed.is_initialized()
+    else:  # older jax: the client slot is the ground truth
+        from jax._src import distributed as _dist
+        already = getattr(_dist.global_state, "client", None) is not None
+    if not already:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except RuntimeError as e:  # already initialized: keep going
-        if "already" not in str(e).lower():
-            raise
     return len(jax.devices())

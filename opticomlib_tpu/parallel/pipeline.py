@@ -131,14 +131,12 @@ def span_pipeline(
 
     sigma_ase = 0.0
     if NF is not None:
-        from scipy.constants import c as c_light, h as h_planck
-        G_lin = 10.0 ** (gain_db / 10.0)
-        if G_lin <= 1.0:
-            raise ValueError("ASE (NF set) requires gain_db > 0")
+        from scipy.constants import c as c_light
+
+        from ..ops.noise import ase_sigma
         if f0 is None:
             f0 = c_light / 1550e-9
-        P_ase = 10.0 ** (NF / 10.0) * h_planck * f0 * (G_lin - 1.0) * fs
-        sigma_ase = float(np.sqrt(P_ase / 4.0))
+        sigma_ase = ase_sigma(gain_db, NF, f0, fs)
     base_key = jax.random.PRNGKey(seed)
 
     w = 2 * np.pi * np.fft.fftfreq(n) * fs

@@ -36,9 +36,19 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/opticomlib_tpu/xla")
 _enabled_dir: Optional[str] = None
 
 # env values that mean "yes, default directory" / "no, keep disabled" —
-# anything else is taken as a directory path
-_ENV_ON = ("1", "true", "True", "TRUE", "yes", "on")
-_ENV_OFF = ("", "0", "false", "False", "FALSE", "no", "off")
+# matched case-insensitively; anything else is taken as a directory path
+_ENV_ON = ("1", "true", "yes", "on")
+_ENV_OFF = ("", "0", "false", "no", "off")
+
+
+def _env_kind(value: str) -> str:
+    """Classify an OPTICOMLIB_TPU_CACHE value as 'on', 'off' or 'path'."""
+    v = value.strip().lower()
+    if v in _ENV_ON:
+        return "on"
+    if v in _ENV_OFF:
+        return "off"
+    return "path"
 
 
 def enable_cache(directory: Optional[str] = None,
@@ -55,8 +65,7 @@ def enable_cache(directory: Optional[str] = None,
     global _enabled_dir
     if directory is None:
         env = os.environ.get("OPTICOMLIB_TPU_CACHE", "")
-        directory = (DEFAULT_CACHE_DIR
-                     if env in _ENV_ON or env in _ENV_OFF else env)
+        directory = env if _env_kind(env) == "path" else DEFAULT_CACHE_DIR
     directory = os.path.abspath(os.path.expanduser(directory))
     os.makedirs(directory, exist_ok=True)
 
@@ -82,5 +91,5 @@ def _maybe_enable_from_env() -> None:
     wins if both are set."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # JAX already configures itself from its own env var
-    if os.environ.get("OPTICOMLIB_TPU_CACHE", "") not in _ENV_OFF:
+    if _env_kind(os.environ.get("OPTICOMLIB_TPU_CACHE", "")) != "off":
         enable_cache()

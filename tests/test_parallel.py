@@ -492,3 +492,84 @@ def test_fiber_mesh_stays_device_resident(devices):
         w, 5.0, alpha=0.2, beta_2=-21.0, gamma=1.3, h=0.5)
     np.testing.assert_allclose(np.asarray(o2.signal).ravel(), expect,
                                atol=5e-4 * np.max(np.abs(expect)))
+
+
+def test_multihost_initialize_idempotent(monkeypatch):
+    """Round-3 review fix: a second initialize_multihost() must return the
+    device count without calling jax.distributed.initialize again (whose
+    double-call error never says 'already')."""
+    from opticomlib_tpu.parallel.multihost import initialize_multihost
+
+    calls = []
+
+    def fake_initialize(**kw):
+        calls.append(kw)
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before "
+            "any JAX calls are executed.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    # backend reports already-initialized -> no call, no raise
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True,
+                        raising=False)
+    n = initialize_multihost()
+    assert n == len(jax.devices()) and calls == []
+
+    # not initialized -> exactly one call (and the error propagates,
+    # since our fake initialize always raises)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False,
+                        raising=False)
+    with pytest.raises(RuntimeError):
+        initialize_multihost(coordinator_address="h:1", num_processes=2,
+                             process_id=0)
+    assert len(calls) == 1
+
+
+@pytest.mark.parametrize("shape,wdm", [((4096,), None), ((4, 1024), "wdm")])
+def test_host_shard_checkpoint_roundtrip(devices, shape, wdm):
+    """The per-host shard save/reassemble helpers used by the multi-host
+    checkpoint path invert each other on a real mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opticomlib_tpu.parallel.fiber import (_assemble_from_host_shards,
+                                               _host_shard_blocks)
+
+    rng = np.random.default_rng(7)
+    A0 = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+          ).astype(np.complex64)
+    mesh = (make_link_mesh(n_wdm=1, n_time=8) if wdm is None
+            else make_link_mesh(n_wdm=4, n_time=2))
+    A = shard_waveform(A0, mesh, wdm_axis=wdm)
+
+    blocks, indices = _host_shard_blocks(A)
+    assert blocks.dtype == np.complex64
+    assert len(indices) == len({tuple(map(tuple, i)) for i in indices})
+
+    sharding = NamedSharding(mesh, P("time") if A0.ndim == 1
+                             else P(wdm, "time"))
+    B = _assemble_from_host_shards(blocks.real, blocks.imag, indices,
+                                   shape, sharding)
+    assert isinstance(B, jax.Array) and B.sharding == sharding
+    np.testing.assert_array_equal(np.asarray(B), A0)
+
+
+def test_ase_physics_single_source():
+    """EDFA ASE power/sigma live in one helper shared by devices.EDFA,
+    the fused link and the span pipeline (round-3 review fix)."""
+    from opticomlib_tpu.ops.noise import ase_power, ase_sigma
+
+    P = ase_power(20.0, 5.0, 193.4e12, 640e9)
+    assert P > 0
+    np.testing.assert_allclose(ase_sigma(20.0, 5.0, 193.4e12, 640e9),
+                               np.sqrt(P / 4))
+    assert ase_power(0.0, 5.0, 193.4e12, 640e9) == 0.0  # G=0 dB: no ASE
+    with pytest.raises(ValueError):
+        ase_power(-1.0, 5.0, 193.4e12, 640e9)
+
+    # the fused link's stage plan uses the same number
+    from opticomlib_tpu.link import EDFASpec, _stage_plan
+    plan = _stage_plan((EDFASpec(G=20.0, NF=5.0),), 193.4e12, 640e9,
+                       fiber_extra=lambda st: {}, dm_const=lambda st: {},
+                       bpf_name=lambda *a: "h", wrap_hs=lambda x: x)
+    np.testing.assert_allclose(plan[0]["sigma_ase"],
+                               ase_sigma(20.0, 5.0, 193.4e12, 640e9))

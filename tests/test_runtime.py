@@ -171,15 +171,16 @@ def test_enable_cache_env_handling(tmp_path, monkeypatch):
     monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", str(tmp_path / "envdir"))
     assert rc.enable_cache().endswith("envdir")
 
-    # on-style values -> default dir, never a dir literally named 'true'
-    for v in ("1", "true", "yes"):
+    # on-style values (any casing) -> default dir, never a dir literally
+    # named 'true'/'ON'/'Yes'
+    for v in ("1", "true", "yes", "ON", "Yes", "TRUE", " on "):
         monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
         assert rc.enable_cache() == str(tmp_path / "default")
 
-    # off-style values in the import hook -> no call
+    # off-style values (any casing) in the import hook -> no call
     calls = []
     monkeypatch.setattr(rc, "enable_cache", lambda *a, **k: calls.append(1))
-    for v in ("", "0", "false", "off"):
+    for v in ("", "0", "false", "off", "OFF", "No", "FALSE"):
         monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
         rc._maybe_enable_from_env()
     assert not calls

@@ -147,8 +147,9 @@ class Eye:
                 plt.suptitle(f"Eye diagram {title}")
 
             ax[0].set_xlim(-1 - dt, 1)
-            if self.mu0 is not None and np.isfinite([self.mu0, self.mu1,
-                                                     self.s0, self.s1]).all():
+            moments = [self.mu0, self.mu1, self.s0, self.s1]
+            if (all(m is not None for m in moments)
+                    and np.isfinite(np.asarray(moments, dtype=float)).all()):
                 ax[0].set_ylim(self.mu0 - 4 * self.s0,
                                self.mu1 + 4 * self.s1)
             ax[0].set_ylabel(r"Amplitude [V]", fontsize=12)
@@ -159,12 +160,14 @@ class Eye:
             if show_options.t_opt and self.t_opt is not None:
                 ax[0].axvline(self.t_opt, color=t_opt_color, ls="--",
                               alpha=0.7)
-                ax[0].axvline(self.t_span0, color=t_opt_color, ls="-",
-                              alpha=0.4)
-                ax[0].axvline(self.t_span1, color=t_opt_color, ls="-",
-                              alpha=0.4)
+                if self.t_span0 is not None and self.t_span1 is not None:
+                    ax[0].axvline(self.t_span0, color=t_opt_color, ls="-",
+                                  alpha=0.4)
+                    ax[0].axvline(self.t_span1, color=t_opt_color, ls="-",
+                                  alpha=0.4)
 
-            if show_options.cross_points and self.y_right and self.y_left:
+            if (show_options.cross_points and self.y_right is not None
+                    and self.y_left is not None):
                 ax[0].plot([self.t_left, self.t_right],
                            [self.y_left, self.y_right], "xr")
 
@@ -187,7 +190,8 @@ class Eye:
             if show_options.legends:
                 ax[0].legend([r"$t_{opt}$"], fontsize=12, loc="upper right")
 
-            if show_options.averages and self.mu0 is not None:
+            if (show_options.averages and self.mu0 is not None
+                    and self.mu1 is not None):
                 ax[0].axhline(self.mu1, color=means_color, ls=":", alpha=0.7)
                 ax[0].axhline(self.mu0, color=means_color, ls="-.",
                               alpha=0.7)

@@ -143,7 +143,9 @@ def eye_metrics(input_samples: np.ndarray, sps: int, nslots: int = 4096,
     rem = y_in.size % (2 * sps)
     if rem:
         y_in = y_in[:-rem]
-    nslots = min(int(y_in.size // sps), nslots)
+    # traces fold two slots each, so the slot count must be even (an odd
+    # user nslots would make t one slot shorter than y)
+    nslots = min(int(y_in.size // sps), int(nslots)) // 2 * 2
     y_in = y_in[: nslots * sps]
     y_in = np.roll(y_in, -sps // 2 + 1)
     y_set = np.unique(y_in)
@@ -387,9 +389,10 @@ def eye_metrics_jax(samples, sps: int, nslots: int = 4096,
     rem = n0 % (2 * sps)
     if rem:
         y_in = y_in[:-rem]
-    nslots = min(int(y_in.shape[0] // sps), nslots)
+    nslots = min(int(y_in.shape[0] // sps), int(nslots)) // 2 * 2
     y_in = y_in[: nslots * sps]
-    y_in = jnp.roll(y_in, -(sps // 2) + 1)
+    # floor-division shift (-sps // 2) so odd sps matches the host pipeline
+    y_in = jnp.roll(y_in, -sps // 2 + 1)
 
     # 2. optional FFT resampling (runs on device through ops/pulses)
     if sps_resamp:

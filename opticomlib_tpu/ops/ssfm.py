@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["linear_operator", "dispersion_phase", "ssfm_propagate",
+           "adaptive_h0",
            "ssfm_step_schedule", "dispersive_step", "ssfm_scan_o4",
            "ssfm_local_error", "progress_bar", "ssfm_while_inside",
            "ssfm_scan_inside"]
@@ -279,6 +280,18 @@ def _ssfm_scan(Are, Aim, phi_w, hs, gamma, alpha, progress: bool = False):
     return A.real, A.imag
 
 
+def adaptive_h0(phi_max: float, gamma: float, maxP: float,
+                length: float) -> float:
+    """Initial adaptive step ``phi_max / (|gamma|·maxP)`` capped at the span
+    length.  A dark input (``maxP == 0``) gives the full span in one step —
+    the reference reaches the same result via NumPy's inf-on-divide-by-zero
+    followed by ``min(·, length)`` (devices.py:1156-1160)."""
+    denom = abs(gamma) * maxP
+    if denom == 0:
+        return float(length)
+    return min(phi_max / denom, float(length))
+
+
 def ssfm_step_schedule(length: float, h: float) -> np.ndarray:
     """Fixed step schedule: ``h``-sized steps plus a final remainder,
     replicating the reference's ``min(h, length - z)`` clipping in fixed-step
@@ -487,6 +500,12 @@ def ssfm_propagate(
     phi_w = dispersion_phase(w_rad_s, beta_2, beta_3)
     a_km = alpha_per_km(alpha)
 
+    # NOTE reference parity quirk (devices.py:1154-1160): a dispersion-free
+    # span takes ONE full-span step even when gamma != 0 and alpha != 0 —
+    # the upstream initial-step rule freezes the NL operator at the input
+    # power, overstating the SPM phase on a lossy span (vs the gamma*P0*Leff
+    # integral).  Pass an explicit ``h`` (or method="o4"/"local_error") for
+    # an accurate dispersion-free nonlinear propagation.
     linear_only = (beta_2 == 0 and beta_3 == 0) or gamma == 0
 
     def _out(re, im):
@@ -519,7 +538,7 @@ def ssfm_propagate(
         maxP0 = float(np.max(A_host.real**2 + A_host.imag**2))
     else:
         maxP0 = float(_planar_max_power(Are, Aim))
-    h0 = min(phi_max / (abs(gamma) * maxP0), length)
+    h0 = adaptive_h0(phi_max, gamma, maxP0, length)
     re, im, _ = _ssfm_loop(Are, Aim, phi_w, length, gamma, phi_max, h0,
                            a_km, adaptive=True, progress=progress)
     return _out(re, im)
@@ -552,7 +571,7 @@ def _ssfm_trajectory(A_np, phi_w, a_km, length, gamma, phi_max, h,
     if linear_only and h is None:
         h_ = float(length)
     elif h is None:
-        h_ = min(phi_max / (abs(gamma) * _max_power(A_np)), length)
+        h_ = adaptive_h0(phi_max, gamma, _max_power(A_np), length)
     else:
         h_ = min(float(h), length)
 
@@ -564,7 +583,8 @@ def _ssfm_trajectory(A_np, phi_w, a_km, length, gamma, phi_max, h,
         z_list.append(z)
         A_list.append(A_np)
         if h is None and not linear_only:
-            h_ = phi_max / (abs(gamma) * _max_power(A_np))
+            h_ = adaptive_h0(phi_max, gamma, _max_power(A_np),
+                             float('inf'))
         h_ = min(h_, length - z)
         if h_ <= 0:
             break

@@ -30,8 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
-                        ssfm_step_schedule, ssfm_while_inside)
+from ..ops.ssfm import (adaptive_h0, alpha_per_km, dispersion_phase,
+                        _lin_factor, ssfm_step_schedule, ssfm_while_inside)
 from .dfft import pencil_fft, pencil_ifft, strided_w_grid
 from .halo import exchange_halos, halo_width
 
@@ -223,7 +223,7 @@ def ssfm_sharded(
             # This is the only place the input must be read back to host —
             # the pencil path never does, so its cache hits launch sync-free.
             maxP0_host = float(jnp.max(A.real**2 + A.imag**2))
-            h0_host = min(phi_max / (abs(gamma) * maxP0_host), length)
+            h0_host = adaptive_h0(phi_max, gamma, maxP0_host, length)
             h_for_halo = min(length,
                              h0_host * math.exp(alpha_per_km(alpha) * length))
         else:

@@ -204,14 +204,19 @@ class BinarySequence:
         other ufuncs apply to the bits and re-wrap binary results
         (reference typing.py:600-645)."""
         if method == "__call__" and not kwargs.get("out"):
+            # sequence semantics regardless of which side the sequence is on
             if ufunc is np.add:
                 lhs, rhs = inputs
+                if isinstance(lhs, BinarySequence):
+                    return lhs.__add__(rhs)
                 if isinstance(rhs, BinarySequence):
                     return rhs.__radd__(lhs)
             if ufunc is np.multiply:
                 lhs, rhs = inputs
+                if isinstance(lhs, BinarySequence):
+                    return lhs.__mul__(rhs)
                 if isinstance(rhs, BinarySequence):
-                    return rhs.__mul__(lhs)
+                    return rhs.__rmul__(lhs)
         new_inputs = [inp.__array__() if isinstance(inp, BinarySequence)
                       else inp for inp in inputs]
         result = getattr(ufunc, method)(*new_inputs, **kwargs)
@@ -398,16 +403,13 @@ class ElectricalSignal:
             noi = _asarray(noise, dtype) if _has_noise(noise) else NULL
         if np.ndim(sig) == 0:
             sig = sig[np.newaxis] if isinstance(sig, np.ndarray) else np.asarray([sig])
-        if _has_noise(noi):
-            if np.shape(noi) != np.shape(sig):
-                noi_arr = noi
-                if np.ndim(noi_arr) == 0:
-                    noi_arr = np.broadcast_to(np.asarray(noi_arr), np.shape(sig)).copy()
-                    noi = noi_arr
-                elif np.shape(noi) != np.shape(sig):
-                    raise ValueError(
-                        f"signal {np.shape(sig)} and noise {np.shape(noi)} "
-                        "must have the same shape")
+        if _has_noise(noi) and np.shape(noi) != np.shape(sig):
+            if np.ndim(noi) == 0:  # scalar noise broadcasts over the signal
+                noi = np.broadcast_to(np.asarray(noi), np.shape(sig)).copy()
+            else:
+                raise ValueError(
+                    f"signal {np.shape(sig)} and noise {np.shape(noi)} "
+                    "must have the same shape")
         self.signal = sig
         self.noise = _as_noise(noi)
         self.execution_time: float = 0.0
@@ -477,16 +479,23 @@ class ElectricalSignal:
         algebra; other ufuncs act on ``signal + noise`` and re-wrap
         shape-compatible results (reference typing.py:1241-1276)."""
         if method == "__call__" and not kwargs.get("out"):
+            # bilinear algebra regardless of which side the signal is on
             if ufunc is np.add:
                 lhs, rhs = inputs
+                if isinstance(lhs, ElectricalSignal):
+                    return lhs.__add__(rhs)
                 if isinstance(rhs, ElectricalSignal):
                     return rhs.__add__(lhs)
             if ufunc is np.subtract:
                 lhs, rhs = inputs
+                if isinstance(lhs, ElectricalSignal):
+                    return lhs.__sub__(rhs)
                 if isinstance(rhs, ElectricalSignal):
                     return (-rhs).__add__(lhs)
             if ufunc is np.multiply:
                 lhs, rhs = inputs
+                if isinstance(lhs, ElectricalSignal):
+                    return lhs.__mul__(rhs)
                 if isinstance(rhs, ElectricalSignal):
                     return rhs.__mul__(lhs)
         new_inputs = [inp.__array__() if isinstance(inp, ElectricalSignal)
@@ -588,6 +597,12 @@ class ElectricalSignal:
     def __eq__(self, other):
         other, _ = self._parse(other)
         return (self.signal + self.noise) == (other.signal + other.noise)
+
+    def __ne__(self, other):
+        # the reference omits __ne__, so `a != b` raises upstream (ndarray
+        # truthiness via object.__ne__); define the elementwise complement
+        other, _ = self._parse(other)
+        return (self.signal + self.noise) != (other.signal + other.noise)
 
     def __hash__(self):
         return id(self)

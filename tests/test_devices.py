@@ -364,3 +364,40 @@ def test_SAMPLER_index_math():
     sampled = SAMPLER(dac, instant=2)
     np.testing.assert_allclose(np.asarray(sampled.signal), [0, 1, 0],
                                atol=1e-9)
+
+
+def test_ssfm_dark_input_adaptive_no_crash():
+    """Round-3 review fix: an all-zero (dark) input through the adaptive
+    solver propagates zeros instead of dividing by zero (the reference
+    reaches the same one-step result via NumPy inf semantics)."""
+    from opticomlib_tpu.ops import ssfm
+
+    n = 256
+    w = 2 * np.pi * np.fft.fftfreq(n) * 160e9
+    out = ssfm.ssfm_propagate(np.zeros(n, np.complex64), w, 10.0,
+                              alpha=0.2, beta_2=-21.0, gamma=1.3)
+    assert np.all(out == 0)
+    assert ssfm.adaptive_h0(0.05, 1.3, 0.0, 10.0) == 10.0
+    assert ssfm.adaptive_h0(0.05, 1.3, 1.0, 10.0) < 10.0
+
+
+def test_eye_metrics_odd_nslots_and_sps():
+    """Round-3 review fix: odd user nslots is floored to even (traces fold
+    two slots), and odd sps gives identical centering on host and device."""
+    from opticomlib_tpu.ops.eyeana import eye_metrics, eye_metrics_jax
+
+    rng = np.random.default_rng(3)
+    sps = 15
+    bits = rng.integers(0, 2, 300)
+    y = np.repeat(bits, sps) + 0.02 * rng.standard_normal(300 * sps)
+
+    host = eye_metrics(y, sps=sps, nslots=151)   # odd nslots: no crash
+    assert host["y"].size % (2 * sps) == 0
+    dev = {k: np.asarray(v) for k, v in
+           eye_metrics_jax(y.astype(np.float32), sps=sps,
+                           nslots=151).items()}
+    # identical centering -> identical trace fold and sampling instant
+    np.testing.assert_allclose(dev["y"][: host["y"].size], host["y"],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(dev["t_opt"]), host["t_opt"],
+                               atol=2.0 / sps)

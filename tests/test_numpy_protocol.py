@@ -149,3 +149,51 @@ class TestBinarySequenceProtocol:
     def test_counts_not_shadowed(self):
         seq = BinarySequence("1011")
         assert seq.ones == 3 and seq.zeros == 1
+
+
+class TestUfuncOperandOrder:
+    """Round-3 review fixes: the ufunc overrides must keep their semantics
+    no matter which side of the call the wrapped object sits on."""
+
+    def test_np_add_signal_lhs_preserves_noise(self):
+        es = ElectricalSignal([1.0, 2.0], noise=[0.1, 0.2])
+        out = np.add(es, np.ones(2))
+        np.testing.assert_allclose(out.signal, [2.0, 3.0])
+        np.testing.assert_allclose(out.noise, [0.1, 0.2])
+        # mirror: array on the left
+        out2 = np.add(np.ones(2), es)
+        np.testing.assert_allclose(out2.signal, out.signal)
+        np.testing.assert_allclose(out2.noise, out.noise)
+
+    def test_np_subtract_signal_lhs(self):
+        es = ElectricalSignal([3.0, 4.0], noise=[0.1, 0.2])
+        out = np.subtract(es, np.ones(2))
+        np.testing.assert_allclose(out.signal, [2.0, 3.0])
+        np.testing.assert_allclose(out.noise, [0.1, 0.2])
+
+    def test_np_multiply_signal_lhs_bilinear(self):
+        es = ElectricalSignal([1.0, 2.0], noise=[0.5, 0.5])
+        out = np.multiply(es, np.full(2, 2.0))
+        ref = es * np.full(2, 2.0)
+        np.testing.assert_allclose(out.signal, ref.signal)
+        np.testing.assert_allclose(out.noise, ref.noise)
+
+    def test_np_add_sequence_lhs_concatenates(self):
+        s = BinarySequence([1, 0, 1])
+        out = np.add(s, np.array([0, 1, 0]))
+        np.testing.assert_array_equal(out.data, [1, 0, 1, 0, 1, 0])
+        out2 = np.add(np.array([0, 1, 0]), s)
+        np.testing.assert_array_equal(out2.data, [0, 1, 0, 1, 0, 1])
+
+    def test_np_multiply_sequence_lhs_tiles(self):
+        s = BinarySequence([1, 0])
+        out = np.multiply(s, 2)
+        np.testing.assert_array_equal(out.data, [1, 0, 1, 0])
+        out2 = np.multiply(2, s)
+        np.testing.assert_array_equal(out2.data, [1, 0, 1, 0])
+
+    def test_ne_elementwise(self):
+        a = ElectricalSignal([1.0, 2.0, 3.0])
+        b = ElectricalSignal([1.0, 2.0, 4.0])
+        ne = a != b
+        np.testing.assert_array_equal(np.asarray(ne), [False, False, True])

@@ -146,3 +146,30 @@ def test_eye_plot_trace_window_uses_resampled_sps():
     xs = segs[..., 0]
     assert xs.min() <= -0.9 and xs.max() >= 0.9, (xs.min(), xs.max())
     plt.close(fig)
+
+
+def test_partial_eye_plot_tolerates_missing_fields():
+    """Round-3 review fix: a partially-filled Eye dict (only some moments
+    present, crossing amplitudes at exactly 0.0) still renders."""
+    import numpy as np
+
+    from opticomlib_tpu.eyediag import Eye
+
+    sps = 16
+    rng = np.random.default_rng(1)
+    y = np.repeat(rng.integers(0, 2, 64), sps) + 0.0
+    t = np.kron(np.ones(32), np.linspace(-1, 1 - 1 / sps, 2 * sps))
+
+    # only mu0 set; mu1/s0/s1/t_span absent -> None via __getattr__
+    partial = Eye({"y": y, "t": t, "sps": sps, "mu0": 0.1, "t_opt": 0.0})
+    partial.plot()
+    plt.close("all")
+
+    # crossing amplitude exactly 0.0 must still draw the cross markers
+    full = Eye({"y": y, "t": t, "sps": sps, "t_opt": 0.0, "t_left": -0.5,
+                "t_right": 0.5, "y_left": 0.0, "y_right": 0.0,
+                "threshold": 0.5, "mu0": 0.0, "mu1": 1.0,
+                "s0": 0.05, "s1": 0.05})
+    from opticomlib_tpu.eyediag import EyeShowOptions
+    full.plot(show_options=EyeShowOptions(cross_points=True))
+    plt.close("all")

@@ -272,13 +272,17 @@ def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
     if key is not None:
         k_ph, k_rin = jax.random.split(key)
 
-    if lw is not None and lw > 0:
+    if lw is not None:
+        # lw == 0 still consumes t.size draws (zero-variance walk), keeping
+        # the legacy np.random stream aligned with the reference
+        # (devices.py:487-491 gates on `lw is not None`, not on lw > 0)
         sigma = np.sqrt(2 * pi * lw * gv.dt)
         if key is not None:
             phase_noise = noise_ops.wiener_phase(k_ph, t.size, sigma)
         else:
             phase_noise = np.cumsum(np.random.normal(0, sigma, t.size))
-        out = out * np.exp(1j * phase_noise)
+        if lw > 0:
+            out = out * np.exp(1j * phase_noise)
 
     if rin is not None:
         sigma = np.sqrt(idb(rin) * gv.fs)

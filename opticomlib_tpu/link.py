@@ -328,9 +328,10 @@ def _stage_plan(stages, f0: float, fs: float, *, fiber_extra, dm_const,
         if isinstance(st, EDFASpec):
             cc = {"kind": "edfa", "sqrtG": float(idb(st.G) ** 0.5)}
             if st.NF is not None:
-                if st.G <= 0:
+                if st.G < 0:
                     raise ValueError(
-                        "EDFASpec with ASE (NF set) needs G > 0 dB")
+                        "EDFASpec with ASE (NF set) needs G >= 0 dB")
+                # G = 0 dB gives sigma_ase = 0, matching the staged EDFA
                 cc["sigma_ase"] = ase_sigma(st.G, st.NF, f0, fs)
             if st.BW is not None:
                 cc["H2_name"] = bpf_name(st.filt_order, st.BW)
@@ -408,9 +409,20 @@ class LinkProgram:
                     if spec.lw and spec.lw > 0 else 0.0)
         sigma_rin = (float(np.sqrt(idb(spec.rin) * fs))
                      if spec.rin is not None else 0.0)
+        # Build-time analogue of the staged LASER's per-draw validity check
+        # (devices.py: raises when any 1+rin draw < 0, which would NaN the
+        # sqrt).  The expected minimum of n N(0,sigma) draws is about
+        # -sigma*sqrt(2 ln n); refuse configurations where it crosses -1,
+        # instead of silently NaN-ing the whole fused chain in-graph.
+        if sigma_rin * math.sqrt(2 * math.log(max(n, 2))) >= 1.0:
+            raise ValueError(
+                "Noise power is to high, try decrease RIN parameter.")
         if spec.df:
-            consts["df_phase"] = jnp.asarray(
-                (2 * pi * spec.df * t_axis).astype(np.float32))
+            # reduce mod 2*pi in float64 BEFORE the float32 cast: at large
+            # n*df the raw phase reaches ~1e7 rad where float32 ulp is
+            # whole radians, which would randomize the carrier rotation
+            df_phase64 = np.mod(2 * pi * spec.df * t_axis, 2 * pi)
+            consts["df_phase"] = jnp.asarray(df_phase64.astype(np.float32))
         has_df = bool(spec.df)
 
         loss_amp = float(idb(-spec.loss_dB) ** 0.5)
@@ -722,7 +734,7 @@ class LinkProgram:
             cache = self._eye_jitted = {}
         if key not in cache:
             sps = self.params.sps
-            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
+            trace_keys = _EYE_TRACE_KEYS
 
             def prog(bits_f32, seed_u32, consts):
                 v = self.fn(bits_f32, seed_u32, consts)[0]
@@ -856,7 +868,7 @@ class LinkProgram:
             cache = self._dsp_ppm_jitted = {}
         if key not in cache:
             sps = self.params.sps
-            trace_keys = ("y", "t", "y_top", "y_bot", "y_25_75")
+            trace_keys = _EYE_TRACE_KEYS
 
             def prog(slots_f32, info_bits_f32, seed_u32, consts):
                 v, slot_samp = self.fn(slots_f32, seed_u32, consts)[:2]

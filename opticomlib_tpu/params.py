@@ -12,10 +12,11 @@ For drop-in ergonomic parity with the reference API, a mutable facade
 same reconciliation rules for the (sps, R, fs) triple
 (reference: opticomlib/typing.py:306-333):
 
-* ``sps`` given: ``R`` wins over ``fs``; missing both -> default ``R``.
-* ``R`` given (no sps): ``fs`` -> ``sps = round(fs/R)``; else default sps.
-* only ``fs`` given: default ``R``, ``sps = round(fs/R)``.
-* nothing given: all defaults.
+* ``sps`` given: ``R`` wins over ``fs``; missing both -> current ``R``.
+* ``R`` given (no sps): ``fs`` -> ``sps = round(fs/R)``; else current sps.
+* only ``fs`` given: current ``R``, ``sps = round(fs/R)``.
+* nothing given: the triple keeps its current values (factory defaults on
+  a fresh instance).
 
 Devices resolve parameters as ``params or gv.params`` so that user code can
 either mirror the reference style (configure ``gv`` once) or thread explicit
@@ -121,14 +122,23 @@ class SimParams:
         N: Optional[int] = None,
         wavelength: float = _DEFAULT_WAVELENGTH,
         _warn: bool = True,
+        base: Optional["SimParams"] = None,
     ) -> "SimParams":
         """Build params applying the reference's reconciliation rules
-        (typing.py:306-333) for partially-specified (sps, R, fs)."""
+        (typing.py:306-333) for partially-specified (sps, R, fs).
+
+        ``base``: fallback values for omitted members of the triple.  The
+        reference falls back to the *currently configured* ``self.R`` /
+        ``self.sps`` (its warning text says "default" but the value it
+        keeps is the current one) — ``gv`` passes its live params here so
+        incremental calls like ``gv(N=...)`` don't reset the rates."""
 
         def _w(msg, *args):
             if _warn:
                 logger.warning(msg, *args)
 
+        fb_R = base.R if base is not None else _DEFAULT_R
+        fb_sps = base.sps if base is not None else _DEFAULT_SPS
         if sps:
             sps = int(np.round(sps))
             if R:
@@ -136,25 +146,25 @@ class SimParams:
             elif fs:
                 R = fs / sps
             else:
-                R = _DEFAULT_R
-                _w("'R' set to default value (%.2e bits/s)", R)
+                R = fb_R
+                _w("'R' kept at its current value (%.2e bits/s)", R)
                 fs = R * sps
         elif R:
             if fs:
                 sps = int(np.round(fs / R))
             else:
-                sps = _DEFAULT_SPS
-                _w("'sps' set to default value (%d S/bit)", sps)
+                sps = fb_sps
+                _w("'sps' kept at its current value (%d S/bit)", sps)
                 fs = R * sps
         elif fs:
-            R = _DEFAULT_R
-            _w("'R' set to default value (%.2e bits/s)", R)
+            R = fb_R
+            _w("'R' kept at its current value (%.2e bits/s)", R)
             sps = int(np.round(fs / R))
         else:
-            sps, R = _DEFAULT_SPS, _DEFAULT_R
-            fs = R * sps
+            sps, R = fb_sps, fb_R
+            fs = base.fs if base is not None else R * sps
             _w(
-                "'sps', 'R' and 'fs' will be set to default values "
+                "'sps', 'R' and 'fs' keep their current values "
                 "(%d S/bit, %.2e bits/s, %.2e Hz)",
                 sps, R, fs,
             )
@@ -243,7 +253,8 @@ class GlobalVariables:
             self.verbose = verbose
             logger.setLevel(verbose)
 
-        new = SimParams.create(sps=sps, R=R, fs=fs, N=None, wavelength=wavelength)
+        new = SimParams.create(sps=sps, R=R, fs=fs, N=None,
+                               wavelength=wavelength, base=self.params)
         n_slots = int(N) if N is not None else self.params.N
         object.__setattr__(self, "params", new.replace(N=n_slots))
 

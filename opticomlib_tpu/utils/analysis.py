@@ -242,6 +242,10 @@ def dec2bin(num: int, digits: int = 8) -> np.ndarray:
     if not _is_integer(num):
         raise ValueError("`num` must be an integer number.")
     num = int(num)
+    if num < 0:
+        # the reference's while-loop silently returns all zeros here; an
+        # unsigned encoder has no valid answer, so fail loudly instead
+        raise ValueError("`num` must be non-negative.")
     if num > 2**digits - 1:
         raise ValueError(
             f"The number is too large to be represented with {digits} bits.")
@@ -253,6 +257,8 @@ def dec2bin(num: int, digits: int = 8) -> np.ndarray:
 def dec2bin_array(nums: np.ndarray, digits: int = 8) -> np.ndarray:
     """Vectorized :func:`dec2bin`: (M,) ints -> (M, digits) uint8 matrix."""
     nums = np.asarray(nums, dtype=np.int64)
+    if np.any(nums < 0):
+        raise ValueError("All numbers must be non-negative.")
     if np.any(nums > 2**digits - 1):
         raise ValueError(
             f"Some numbers are too large to be represented with {digits} bits.")

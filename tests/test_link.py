@@ -163,3 +163,16 @@ class TestProgramContract:
         prog = build_link(_spec(), n_bits=NBITS)
         with pytest.raises(ValueError):
             prog.run(bits=np.zeros(17, np.uint8))
+
+
+def test_fused_rin_too_high_raises_at_build():
+    """Round-3 review fix: the fused link refuses RIN configurations the
+    staged LASER would reject per-draw, instead of NaN-ing in-graph."""
+    from opticomlib_tpu.link import LinkSpec, build_link
+    from opticomlib_tpu.params import SimParams
+
+    spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                    pulse_shape="gaussian", stages=(), pd_BW=7.5e9,
+                    rin=-80)
+    with pytest.raises(ValueError, match="RIN"):
+        build_link(spec, n_bits=256, params=SimParams(sps=16, R=10e9))

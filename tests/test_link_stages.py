@@ -87,10 +87,14 @@ def test_edfa_output_filter():
     assert np.max(np.abs(f_filt - ref)) < 1e-6 * np.max(np.abs(f_gain))
 
 
-def test_edfa_ase_needs_positive_gain():
+def test_edfa_ase_needs_nonnegative_gain():
     prog_spec = _spec((EDFASpec(G=-3.0, NF=5.0),))
-    with pytest.raises(ValueError, match="G > 0"):
+    with pytest.raises(ValueError, match="G >= 0"):
         build_link(prog_spec, n_bits=N_BITS, params=_params())
+    # G = 0 dB with NF set is legal (zero ASE), matching the staged EDFA
+    prog = build_link(_spec((EDFASpec(G=0.0, NF=5.0),)),
+                      n_bits=N_BITS, params=_params())
+    assert prog is not None
 
 
 # -------------------------------------------------------------------- DBP

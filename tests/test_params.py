@@ -105,3 +105,27 @@ class TestTopLevelConvenienceExports:
         assert ot.sizeof(a) >= a.nbytes
         sig = ot.electrical_signal(np.zeros(256))
         assert ot.sizeof(sig) >= 256 * 8
+
+
+def test_gv_incremental_update_preserves_rates():
+    """Round-3 review fix: gv(N=...) (or any call omitting members of the
+    (sps, R, fs) triple) keeps the currently-configured values, as the
+    reference does — it must not reset to factory defaults."""
+    from opticomlib_tpu import gv
+
+    try:
+        gv(sps=32, R=10e9)
+        gv(N=1000)                      # only N: rates untouched
+        assert gv.sps == 32 and gv.R == 10e9 and gv.N == 1000
+        assert gv.fs == 32 * 10e9
+
+        gv(sps=8)                       # sps only: current R kept
+        assert gv.R == 10e9 and gv.fs == 8 * 10e9
+
+        gv(R=5e9)                       # R only: current sps kept
+        assert gv.sps == 8 and gv.fs == 8 * 5e9
+
+        gv(fs=80e9)                     # fs only: current R kept
+        assert gv.R == 5e9 and gv.sps == 16
+    finally:
+        gv.default()

@@ -158,7 +158,9 @@ def GET_EYE_v2(sync_signal, slots_tx, nslots: int = 4096) -> Eye:
     n = x.size % (2 * sps)
     if n:
         x = x[:-n]
-    nslots = min(x.size // sps, nslots)
+    # traces fold two slots each -> even slot count (odd user nslots would
+    # leave t one slot-pair shorter than y)
+    nslots = min(x.size // sps, int(nslots)) // 2 * 2
     x = x[:nslots * sps]
 
     y = np.asarray(x.signal)

@@ -185,9 +185,20 @@ class ShardedLinkProgram:
                     if spec.lw and spec.lw > 0 else 0.0)
         sigma_rin = (float(np.sqrt(idb(spec.rin) * fs))
                      if spec.rin is not None else 0.0)
+        # same build-time RIN validity check as the unsharded builder
+        # (expected minimum of n draws crossing -1 would NaN sqrt in-graph)
+        if sigma_rin * math.sqrt(2 * math.log(max(n, 2))) >= 1.0:
+            raise ValueError(
+                "Noise power is to high, try decrease RIN parameter.")
         has_df = bool(spec.df)
-        df_rate = 2 * pi * (spec.df or 0.0) * (n / ((n - 1) * fs))
-        # ^ reference t-axis is linspace(0, n/fs, n, endpoint=True)
+        if has_df:
+            # mod-2pi in float64 BEFORE the float32 cast (same hazard note
+            # as the unsharded builder: raw phase ~1e7 rad at long windows
+            # where float32 ulp is whole radians); time-domain const, so a
+            # plain contiguous P(time) shard gives device q its samples
+            t_axis = np.linspace(0.0, n / fs, n, endpoint=True)
+            consts["df_phase"] = np.mod(
+                2 * pi * spec.df * t_axis, 2 * pi).astype(np.float32)
 
         loss_amp = float(idb(-spec.loss_dB) ** 0.5)
         eta_half = float(idb(-spec.ER_dB) ** 0.5)
@@ -332,8 +343,7 @@ class ShardedLinkProgram:
                 mask = (jnp.arange(P_t) < q).astype(jnp.float32)
                 phase = local + (mask @ totals)[:, None]
             if has_df:
-                idx = q * block + jnp.arange(block, dtype=jnp.float32)
-                phase = phase + jnp.float32(df_rate) * idx
+                phase = phase + consts_blk["df_phase"]
             amp = jnp.full((lc, 1), P0_amp, jnp.float32)
             if sigma_rin > 0:
                 rin = _draw_v(_fold_v(k_rin, q), (block,), sigma_rin)

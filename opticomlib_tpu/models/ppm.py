@@ -247,7 +247,8 @@ def BER_analizer(mode: Literal["counter", "estimator"], **kwargs) -> float:
                 "`mode='estimator'`.")
         if not M & (M - 1) == 0:
             raise ValueError("`M` must be a power of 2.")
-        if decision.lower() not in ("hard", "soft"):
+        decision = decision.lower()
+        if decision not in ("hard", "soft"):
             raise ValueError("`decision` must be 'hard' or 'soft'.")
 
         I1, I0 = eye_obj.mu1, eye_obj.mu0

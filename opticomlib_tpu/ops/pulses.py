@@ -39,7 +39,14 @@ def nrz_pulse(span: int, sps: int, T: float = 1) -> np.ndarray:
 
 def gauss_pulse(span: int, sps: int, T: float = 1, m: int = 1,
                 c: float = 0.0) -> np.ndarray:
-    """(Super-)Gaussian pulse of FWHM ``T`` slots, order ``m``, chirp ``c``."""
+    """(Super-)Gaussian pulse of FWHM ``T`` slots, order ``m``, chirp ``c``.
+
+    NOTE reference parity quirk (utils.py:1918-1921): the chirp factor
+    ``(1+1j*c)`` sits *inside* the ``**(2*m)`` power, so the magnitude
+    depends on ``c`` and diverges for ``|c| >= 1`` (the textbook chirped
+    Gaussian is ``exp(-(1+ic)(at)^(2m))`` with chirp-independent
+    magnitude).  Kept bit-for-bit for drop-in equivalence; pass a custom
+    ``h`` to DAC for the textbook form."""
     N = span * sps
     t = np.linspace(-span / 2, span / 2, N + 1)
     alpha = 2 * np.sqrt(np.log(2)) / T

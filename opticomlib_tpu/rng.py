@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional, Union
 
 import jax
+import numpy as np
 
 __all__ = ["seed", "clear", "is_seeded", "next_key", "resolve", "KeyLike"]
 
@@ -60,9 +61,13 @@ def next_key() -> jax.Array:
 
 
 def as_key(key: KeyLike) -> jax.Array:
-    """Coerce an int seed or key array to a jax.random key."""
-    if isinstance(key, int):
-        return jax.random.key(key)
+    """Coerce an int seed or key array to a jax.random key.
+
+    Accepts any integral scalar (Python int, np.uint32, np.int64, ...) —
+    a NumPy integer passed through untouched would hit jax.random.split
+    with a 'not a PRNG key' error far from the caller."""
+    if isinstance(key, (int, np.integer)):
+        return jax.random.key(int(key))
     return key
 
 

@@ -192,3 +192,25 @@ def test_EXFO_debug_commands(capsys):
     assert "[DEBUG] >A-03.50<" in out
     assert "[DEBUG] >L1550<" in out
     assert "[DEBUG] >Z<" in out
+
+
+def test_get_eye_v2_odd_nslots():
+    """Round-3 review fix: odd nslots is floored to even so t and y trace
+    lengths agree (traces fold two slots each)."""
+    import numpy as np
+
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.lab import GET_EYE_v2
+    from opticomlib_tpu.signals import BinarySequence, ElectricalSignal
+
+    gv(sps=8, R=1e9)
+    try:
+        rng = np.random.default_rng(0)
+        bits = rng.integers(0, 2, 1200)
+        y = np.repeat(bits, 8).astype(float)
+        sig = ElectricalSignal(y)   # sps/dt derive from gv
+        eye = GET_EYE_v2(sig, BinarySequence(bits), nslots=1001)
+        assert eye.y.size == eye.t.size
+        assert (eye.y.size // 8) % 2 == 0
+    finally:
+        gv.default()

@@ -230,3 +230,25 @@ def test_sharded_longhaul_repeat_dbp_roundtrip(params, mesh_t):
     f_b2b = field(())
     err = np.max(np.abs(f_rt - f_b2b)) / np.max(np.abs(f_b2b))
     assert err < 5e-3, err
+
+
+def test_sharded_df_matches_unsharded(params, mesh_t):
+    """Round-3 review fix: the sharded laser detuning uses the same
+    mod-2pi float64-reduced phase table as the unsharded builder, so the
+    carrier rotation agrees sample-for-sample (noiseless)."""
+    spec = _spec((), df=1e9)
+    pr0 = build_link(spec, N_BITS, params=params)
+    v0 = np.asarray(pr0.jitted(jnp.asarray(_BITS), jnp.uint32(0))[0])
+    pr1 = build_link(spec, N_BITS, params=params, mesh=mesh_t)
+    v1 = np.asarray(pr1.jitted(_BITS, np.uint32([0]))[0])[0]
+    scale = np.max(np.abs(v0))
+    assert np.max(np.abs(v1 - v0)) < 2e-5 * scale
+
+
+def test_sharded_rin_too_high_raises(params, mesh_t):
+    """The sharded builder refuses RIN configs the staged LASER would
+    reject, instead of NaN-ing in-graph (parity with the unsharded
+    build-time check)."""
+    spec = _spec((), rin=-80)
+    with pytest.raises(ValueError, match="RIN"):
+        build_link(spec, N_BITS, params=params, mesh=mesh_t)

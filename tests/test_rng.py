@@ -116,3 +116,15 @@ class TestStatistics:
         v = np.asarray(out.noise)
         # output is voltage (xR_load) after a near-fullband LPF
         assert float(v.var()) == pytest.approx(S_T * R_load**2, rel=0.10)
+
+
+def test_numpy_integer_seed_coerced():
+    """Round-3 review fix: np integer seeds coerce to PRNG keys like
+    Python ints (previously they passed through and crashed in split)."""
+    import numpy as np
+
+    from opticomlib_tpu import rng as rng_mod
+
+    k1 = rng_mod.as_key(np.uint32(42))
+    k2 = rng_mod.as_key(42)
+    assert jax.random.uniform(k1) == jax.random.uniform(k2)

@@ -17,10 +17,14 @@ host threads do not interleave their trees.
 from __future__ import annotations
 
 import functools
+import inspect
 import logging
 import threading
 
-logging.getLogger("matplotlib").setLevel(logging.ERROR)
+# silence matplotlib chatter (reference logger.py:6) — but only when the
+# host application has not configured that logger itself
+if logging.getLogger("matplotlib").level == logging.NOTSET:
+    logging.getLogger("matplotlib").setLevel(logging.ERROR)
 
 __all__ = ["HierLogger", "hlog"]
 
@@ -38,28 +42,21 @@ class HierLogger:
     def _state(self):
         if not hasattr(self._local, "indent"):
             self._local.indent = 0
-            self._local.suppress = 0
         return self._local
 
     class _Indent:
-        def __init__(self, outer, suppress: bool):
-            self.outer, self.suppress = outer, suppress
+        def __init__(self, outer):
+            self.outer = outer
 
         def __enter__(self):
-            st = self.outer._state()
-            st.indent += 1
-            if self.suppress:
-                st.suppress += 1
+            self.outer._state().indent += 1
 
         def __exit__(self, *exc):
-            st = self.outer._state()
-            st.indent -= 1
-            if self.suppress:
-                st.suppress -= 1
+            self.outer._state().indent -= 1
 
     def indent(self):
         """Context manager: one level deeper for the duration."""
-        return self._Indent(self, suppress=False)
+        return self._Indent(self)
 
     # -- decorators ------------------------------------------------------
     def auto_indent(self, func=None):
@@ -70,7 +67,7 @@ class HierLogger:
             @functools.wraps(f)
             def wrapper(*args, **kwargs):
                 self.debug(f.__name__)
-                with self._Indent(self, suppress=False):
+                with self._Indent(self):
                     return f(*args, **kwargs)
             return wrapper
         return decorate if func is None else decorate(func)
@@ -92,15 +89,20 @@ class HierLogger:
                 elif isinstance(attr, staticmethod):
                     setattr(target, name,
                             staticmethod(self.auto_indent(attr.__func__)))
-                elif callable(attr):
+                elif isinstance(attr, classmethod):
+                    setattr(target, name,
+                            classmethod(self.auto_indent(attr.__func__)))
+                elif inspect.isfunction(attr):
+                    # plain methods only — wrapping arbitrary callables
+                    # (e.g. nested classes) would replace them with
+                    # functions and break isinstance()/pickling
                     setattr(target, name, self.auto_indent(attr))
             return target
         return wrap if cls is None else wrap(cls)
 
     # -- emit ------------------------------------------------------------
     def _fmt(self, msg: str) -> str:
-        st = self._state()
-        level = max(st.indent - st.suppress, 0)
+        level = max(self._state().indent, 0)
         return f"{self.INDENT_STR * level}/> {msg}"
 
     def debug(self, msg, *a, **k):

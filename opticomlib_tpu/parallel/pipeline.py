@@ -46,7 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.noise import gaussian_inside
-from ..ops.ssfm import (alpha_per_km, dispersion_phase, _lin_factor,
+from ..ops.ssfm import (alpha_per_km, dispersion_phase, ssfm_scan_inside,
                         ssfm_step_schedule, ssfm_while_inside)
 
 __all__ = ["make_span_mesh", "span_pipeline"]
@@ -162,20 +162,7 @@ def span_pipeline(
             x, _ = ssfm_while_inside(x, phi_w, span_length, gamma_f,
                                      phi_max, h0, a_km, adaptive=True)
         else:
-            h0 = hs[0]
-            E0 = _lin_factor(phi_w, a_km, h0)
-
-            def step(a, hh):
-                phi = (gamma_f * (hh / 2)) * (a.real * a.real
-                                              + a.imag * a.imag)
-                half = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-                a = a * half
-                E = jax.lax.cond(hh == h0, lambda: E0,
-                                 lambda: _lin_factor(phi_w, a_km, hh))
-                a = jnp.fft.ifft(jnp.fft.fft(a) * E)
-                return a * half, None
-
-            x, _ = jax.lax.scan(step, x, hs)
+            x = ssfm_scan_inside(x, phi_w, hs, gamma_f, a_km)
         x = x * g_field
         if sigma_ase:
             d = gaussian_inside(k, (2, n), sigma_ase)

@@ -92,4 +92,11 @@ def _maybe_enable_from_env() -> None:
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # JAX already configures itself from its own env var
     if _env_kind(os.environ.get("OPTICOMLIB_TPU_CACHE", "")) != "off":
-        enable_cache()
+        try:
+            enable_cache()
+        except OSError as e:  # unwritable/invalid path must not break import
+            import warnings
+            warnings.warn(
+                f"OPTICOMLIB_TPU_CACHE: could not enable the persistent "
+                f"compilation cache ({e}); continuing without it.",
+                RuntimeWarning, stacklevel=2)

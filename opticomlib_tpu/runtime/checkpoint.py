@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import tempfile
 import zipfile
 from typing import Optional, Tuple
@@ -69,14 +70,16 @@ class PropagationCheckpointer:
         return path
 
     def _steps(self):
-        shard = "" if self.shard is None else f".shard{self.shard}"
+        # exact-name parse: a shard=None checkpointer must NOT match
+        # sharded files (``.shard<k>.npz`` also ends with ``.npz``), and
+        # the step field may grow past its 08d zero-padding
+        shard = "" if self.shard is None else f"\\.shard{self.shard}"
+        pat = re.compile(rf"^ckpt_(\d+){shard}\.npz$")
         out = []
         for fn in os.listdir(self.dir):
-            if fn.startswith("ckpt_") and fn.endswith(f"{shard}.npz"):
-                try:
-                    out.append(int(fn[5:13]))
-                except ValueError:
-                    continue
+            m = pat.match(fn)
+            if m:
+                out.append(int(m.group(1)))
         return sorted(set(out))
 
     def _prune(self):
@@ -133,9 +136,13 @@ def ssfm_propagate_resumable(
     """
     from ..ops import ssfm as _ssfm
 
+    # the frequency grid is part of the physics: resuming under a different
+    # fs (same n) would mix dispersion applied on two different w grids
+    w_arr = np.asarray(w_rad_s, dtype=np.float64)
+    w_fp = hashlib.sha256(w_arr.tobytes()).hexdigest()[:16]
     cfg = dict(length=length, alpha=alpha, beta_2=beta_2, beta_3=beta_3,
                gamma=gamma, h=h, phi_max=phi_max, segment_km=segment_km,
-               n=int(np.shape(A)[-1]))
+               n=int(np.shape(A)[-1]), w_grid=w_fp)
     ck = PropagationCheckpointer(ckpt_dir, config=cfg)
 
     state = ck.latest()

@@ -187,3 +187,47 @@ def test_enable_cache_env_handling(tmp_path, monkeypatch):
     monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", "1")
     rc._maybe_enable_from_env()
     assert calls == [1]
+
+
+def test_checkpointer_shard_isolation(tmp_path):
+    """Round-3 review fix: a shard=None checkpointer must neither see nor
+    prune sharded files in the same directory (and vice versa)."""
+    import numpy as np
+
+    from opticomlib_tpu.runtime.checkpoint import PropagationCheckpointer
+
+    d = str(tmp_path)
+    cfg = {"k": 1}
+    sh = PropagationCheckpointer(d, config=cfg, shard=0)
+    sh.save(49, 1.0, np.zeros(4), np.zeros(4))
+    sh.save(50, 2.0, np.zeros(4), np.zeros(4))
+
+    un = PropagationCheckpointer(d, config=cfg)
+    assert un._steps() == []                    # sharded files invisible
+    un.save(1, 0.5, np.ones(4), np.zeros(4))
+    assert un._steps() == [1]                   # own save survives prune
+    st = un.latest()
+    assert st is not None and st[0] == 1
+    # sharded side still intact and isolated
+    assert sh._steps() == [49, 50]
+
+
+def test_resumable_rejects_different_frequency_grid(tmp_path):
+    """Round-3 review fix: resuming with the same n but a different fs
+    (different w grid) is rejected via the config fingerprint."""
+    import numpy as np
+    import pytest
+
+    from opticomlib_tpu.runtime.checkpoint import ssfm_propagate_resumable
+
+    n = 128
+    A = (np.random.default_rng(0).standard_normal(n)
+         * 0.1).astype(np.complex64)
+    w1 = 2 * np.pi * np.fft.fftfreq(n) * 640e9
+    w2 = 2 * np.pi * np.fft.fftfreq(n) * 320e9
+    d = str(tmp_path)
+    ssfm_propagate_resumable(A, w1, 2.0, d, 1.0, alpha=0.2,
+                             beta_2=-21.0, gamma=1.3, h=0.5)
+    with pytest.raises(ValueError, match="different"):
+        ssfm_propagate_resumable(A, w2, 4.0, d, 1.0, alpha=0.2,
+                                 beta_2=-21.0, gamma=1.3, h=0.5)

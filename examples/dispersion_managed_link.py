@@ -6,6 +6,12 @@ ook_transmission_fiber_simulation.py per-span pattern).
 
 Run: python examples/dispersion_managed_link.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import numpy as np
 
 from opticomlib_tpu import gv
@@ -71,4 +77,7 @@ staged_field = np.asarray(f.signal).ravel()
 
 err = np.max(np.abs(fused_field - staged_field)) / np.max(np.abs(staged_field))
 print(f"fused RepeatSpec vs staged chain: max rel err = {err:.2e}")
-assert err < 1e-4
+# 8 x 80 km at h=1 km is 1280 float32 FFTs; the fused scan (one compiled
+# graph) and the 8 separately-compiled staged programs round differently,
+# and the gap is platform-dependent: ~1e-5 on CPU, ~1e-3 on the TPU FFT.
+assert err < 5e-3

@@ -7,6 +7,12 @@ error each achieves per FFT pair spent.
 
 Run: python examples/higher_order_ssfm.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import numpy as np
 
 from opticomlib_tpu.ops import ssfm

@@ -3,6 +3,12 @@ Lorentzian with FWHM = linewidth (reference examples/laser_linewidth_demo.py).
 
 Run:  python examples/laser_linewidth_demo.py [--show]
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -7,6 +7,12 @@ propagation resumable (opticomlib_tpu.runtime).
 
 Run:  python examples/longhaul_dbp.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import tempfile
 
 import numpy as np

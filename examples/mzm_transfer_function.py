@@ -7,6 +7,12 @@ power transfer curve, checking it against cos^2 theory.
 
 Run:  python examples/mzm_transfer_function.py [--show]
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -6,6 +6,12 @@ PRBS -> DAC -> LASER -> MZM -> FIBER -> PD -> DSP -> BER chain.
 
 Run:  python examples/ook_transmission_fiber_simulation.py [--show]
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -3,6 +3,12 @@ decoding (BASELINE config 3).
 
 Run:  python examples/ppm_transmission.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import numpy as np
 
 from opticomlib_tpu import gv

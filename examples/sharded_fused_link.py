@@ -8,6 +8,12 @@ accordingly and drop the host-platform flag).
 
 Run: python examples/sharded_fused_link.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import os
 
 # 8 virtual CPU devices (this container pins JAX to a TPU plugin via

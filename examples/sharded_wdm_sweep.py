@@ -10,6 +10,12 @@ multi-chip slice.
 
 Run:  python examples/sharded_wdm_sweep.py
 """
+try:  # running from a source checkout without an install
+    import opticomlib_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import os
 
 if not os.environ.get("OPTICOMLIB_EXAMPLES_TPU"):

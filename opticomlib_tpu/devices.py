@@ -31,9 +31,8 @@ Device inventory (reference file:line):
 """
 from __future__ import annotations
 
-import numbers
 import warnings
-from typing import Callable, Literal, Optional, Union
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +50,7 @@ from .signals import (
     OpticalSignal, RealNumber, _has_noise,
     binary_sequence, electrical_signal, optical_signal,
 )
-from .utils.analysis import dec2bin, idb, idbm, shortest_int, si, tic, toc
+from .utils.analysis import idb, idbm, shortest_int, si, tic, toc
 from .utils.analysis import db, dispersion as _dispersion_of, tau_g as _tau_g
 from .utils.analysis import rcos as _rcos_spectrum
 

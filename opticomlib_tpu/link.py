@@ -63,7 +63,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.constants import e, h as h_planck, k as kB, pi
+from scipy.constants import e, k as kB, pi
 
 from .ops import filters, pulses, ssfm
 from .ops.eyeana import _shortest_int_masked, eye_metrics_jax

@@ -4,7 +4,7 @@ Parity with reference opticomlib/ook.py (file:line cited per function).
 """
 from __future__ import annotations
 
-from typing import Literal, Union
+from typing import Literal
 
 import numpy as np
 

@@ -7,7 +7,7 @@ the reference, with an optional ``rng`` for reproducibility.
 """
 from __future__ import annotations
 
-from typing import Literal, Optional, Union
+from typing import Literal, Optional
 
 import numpy as np
 from scipy.constants import pi

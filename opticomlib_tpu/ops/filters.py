@@ -21,7 +21,6 @@ matches exactly) and cached per (order, BW, fs, nfft).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

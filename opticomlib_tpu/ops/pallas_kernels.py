@@ -43,7 +43,6 @@ reference kernels for future toolchains.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ it to neighbor ICI transfers on a TPU slice (no host involvement).
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ analytically (reference devices.py:1460-1479).
 """
 from __future__ import annotations
 
-import numbers
-from typing import Any, Iterable, Literal, Optional, Union
+from typing import Iterable, Literal, Optional, Union
 
 import numpy as np
 import jax

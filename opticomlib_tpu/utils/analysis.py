@@ -25,7 +25,7 @@ import numbers
 import re
 import time
 import timeit as _timeit
-from typing import Iterable, Literal, Optional, Union
+from typing import Optional
 
 import numpy as np
 from scipy.constants import c, pi

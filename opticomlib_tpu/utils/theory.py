@@ -7,7 +7,7 @@ used as oracles for the simulated BER and for link budgeting.
 """
 from __future__ import annotations
 
-from typing import Literal, Optional, Union
+from typing import Literal, Optional
 
 import numpy as np
 from scipy.constants import c, e, h, k as kB, pi

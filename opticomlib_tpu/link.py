@@ -107,6 +107,42 @@ def _ook_rx_ingraph(v, slots, bits_f32, sps, nslots, sps_resamp,
     return m, rth, n_err
 
 
+def _ppm_hard_rx_ingraph(v, slot_samp, info_bits_f32, M, sps, nslots,
+                         sps_resamp, seed_u32,
+                         trace_keys=_EYE_TRACE_KEYS):
+    """In-graph hard-decision M-PPM receiver: GET_EYE reductions -> KDE
+    threshold (falling back to the log-space M-PPM THRESHOLD_EST scan,
+    reference ppm.py:261-305, where the KDE fails) -> slicer ->
+    keyed-random HDD repair -> decode -> error count (device twin of
+    ``models.ppm.DSP(decision='hard')`` + ``BER_analizer('counter')``,
+    reference ppm.py:390-405, 419-577).  Shared by LinkProgram.dsp_ppm,
+    dsp_wdm_ppm (vmapped there) and the sharded twin.  Returns
+    (eye_scalars, rth, n_err)."""
+    from .models.ppm import hdd_positions_jax, positions_to_bits_jax
+
+    m = eye_metrics_jax(v, sps=sps, nslots=nslots, sps_resamp=sps_resamp)
+    for tk in trace_keys:
+        m.pop(tk, None)
+    # M-PPM THRESHOLD_EST in log space: argmin 1 - Q((r-mu1)/s1) *
+    # (1-Q((r-mu0)/s0))^(M-1) == argmax log Q((r-mu1)/s1) +
+    # (M-1) log(1-Q((r-mu0)/s0)), with log Q(x) = log_ndtr(-x)
+    r = jnp.linspace(m["mu0"], m["mu1"], 1000)
+    log_a = (jax.scipy.special.log_ndtr((m["mu1"] - r) / m["s1"])
+             + (M - 1) * jax.scipy.special.log_ndtr(
+                 (r - m["mu0"]) / m["s0"]))
+    rth_scan = r[jnp.argmax(log_a)]
+    rth = jnp.where(jnp.isnan(m["threshold"]), rth_scan, m["threshold"])
+    on = (jnp.real(slot_samp) > rth).astype(jnp.float32)
+    # the reference repairs degenerate symbols with np.random draws
+    # (ppm.py:184-190); here a per-slot keyed uniform score derived from
+    # the link seed keeps the repair reproducible and schedule-free
+    k_hdd = jax.random.fold_in(jax.random.PRNGKey(seed_u32), 0x504D)
+    pos = hdd_positions_jax(on, M, k_hdd)
+    rx_bits = positions_to_bits_jax(pos, M)
+    n_err = jnp.sum(rx_bits != info_bits_f32.astype(jnp.uint8))
+    return m, rth, n_err
+
+
 @dataclass(frozen=True)
 class FiberSpec:
     """One fiber span (same physics as :func:`opticomlib_tpu.devices.FIBER`,
@@ -502,7 +538,11 @@ class LinkProgram:
             amp = jnp.float32(P0_amp)
             if sigma_rin > 0:
                 rin_noise = gaussian_inside(k_rin, (n,), sigma_rin)
-                amp = amp * jnp.sqrt(1 + rin_noise)
+                # the build-time guard rejects configs whose EXPECTED
+                # minimum draw crosses -1, but a given seed's actual min
+                # still can; clamp the power at 0 so the tail draw darkens
+                # one sample instead of NaN-ing the whole fused chain
+                amp = amp * jnp.sqrt(jnp.maximum(1 + rin_noise, 0.0))
             if sigma_ph > 0 or has_df:
                 E = amp * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
             else:
@@ -837,8 +877,8 @@ class LinkProgram:
         (n_errors, threshold, eye scalars) leave the device.
         """
         from .eyediag import Eye
-        from .models.ppm import (PPM_ENCODER, hdd_positions_jax,
-                                 positions_to_bits_jax, sdd_positions_jax)
+        from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
+                                 sdd_positions_jax)
 
         decision = decision.lower()
         if decision not in ("soft", "hard"):
@@ -868,37 +908,18 @@ class LinkProgram:
             cache = self._dsp_ppm_jitted = {}
         if key not in cache:
             sps = self.params.sps
-            trace_keys = _EYE_TRACE_KEYS
 
             def prog(slots_f32, info_bits_f32, seed_u32, consts):
                 v, slot_samp = self.fn(slots_f32, seed_u32, consts)[:2]
                 if decision == "soft":
                     pos = sdd_positions_jax(slot_samp, M)
-                    m, rth = {}, jnp.nan
-                else:
-                    m = eye_metrics_jax(v, sps=sps, nslots=nslots,
-                                        sps_resamp=sps_resamp)
-                    for tk in trace_keys:
-                        m.pop(tk, None)
-                    # M-PPM THRESHOLD_EST (reference ppm.py:261-305) in log
-                    # space: argmin 1 - Q((r-mu1)/s1)*(1-Q((r-mu0)/s0))^(M-1)
-                    # == argmax log Q((r-mu1)/s1) + (M-1) log(1-Q((r-mu0)/s0))
-                    # with log Q(x) = log_ndtr(-x) and 1-Q(x) = ndtr(x).
-                    r = jnp.linspace(m["mu0"], m["mu1"], 1000)
-                    log_a = (jax.scipy.special.log_ndtr(
-                                (m["mu1"] - r) / m["s1"])
-                             + (M - 1) * jax.scipy.special.log_ndtr(
-                                (r - m["mu0"]) / m["s0"]))
-                    rth_scan = r[jnp.argmax(log_a)]
-                    rth = jnp.where(jnp.isnan(m["threshold"]), rth_scan,
-                                    m["threshold"])
-                    on = (jnp.real(slot_samp) > rth).astype(jnp.float32)
-                    k_hdd = jax.random.fold_in(
-                        jax.random.PRNGKey(seed_u32), 0x504D)
-                    pos = hdd_positions_jax(on, M, k_hdd)
-                rx_bits = positions_to_bits_jax(pos, M)
-                n_err = jnp.sum(rx_bits != info_bits_f32.astype(jnp.uint8))
-                return m, rth, n_err
+                    rx_bits = positions_to_bits_jax(pos, M)
+                    n_err = jnp.sum(
+                        rx_bits != info_bits_f32.astype(jnp.uint8))
+                    return {}, jnp.nan, n_err
+                return _ppm_hard_rx_ingraph(v, slot_samp, info_bits_f32,
+                                            M, sps, nslots, sps_resamp,
+                                            seed_u32)
 
             cache[key] = jax.jit(prog)
 
@@ -995,12 +1016,18 @@ class LinkProgram:
 
     def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
                     bits=None, seed: int = 0, prbs_order: int = 15,
-                    mesh=None, axis: str = "wdm"):
+                    mesh=None, axis: str = "wdm", nslots: int = 8192,
+                    sps_resamp: Optional[int] = None):
         """M-PPM WDM sweep: ``n_channels`` independent chains + fused PPM
-        receivers (soft SDD argmax decision + in-graph decode + BER),
-        vmapped into ONE XLA program — the PPM twin of :meth:`dsp_wdm`
-        (a PPM sweep previously required a host loop over
+        receivers, vmapped into ONE XLA program — the PPM twin of
+        :meth:`dsp_wdm` (a PPM sweep previously required a host loop over
         :meth:`dsp_ppm` calls).
+
+        * ``decision="soft"``: SDD argmax decision + in-graph decode + BER.
+        * ``decision="hard"``: per-channel eye metrology (GET_EYE
+          reductions on the PD voltage) -> KDE/scan threshold -> slicer ->
+          keyed HDD repair -> decode + BER (:func:`_ppm_hard_rx_ingraph`
+          vmapped; ``nslots``/``sps_resamp`` size the eye window).
 
         ``bits``: (n_channels, n_sym*log2(M)) *information* bits (PRBS
         segments by default), host-encoded once with ``PPM_ENCODER``.
@@ -1010,11 +1037,9 @@ class LinkProgram:
         from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
                                  sdd_positions_jax)
 
-        if decision.lower() != "soft":
-            raise NotImplementedError(
-                "dsp_wdm_ppm currently supports decision='soft' (the "
-                "hard path's per-channel eye metrology is available via "
-                "dsp_ppm per channel)")
+        decision = decision.lower()
+        if decision not in ("soft", "hard"):
+            raise ValueError('`decision` must be "hard" or "soft"')
         if n_channels < 1:
             raise ValueError("n_channels must be >= 1")
         if M & (M - 1) != 0 or M < 2:
@@ -1039,18 +1064,26 @@ class LinkProgram:
             np.asarray(PPM_ENCODER(bits[c], M).data, np.float32)
             for c in range(n_channels)])
 
-        key = (n_channels, M,
+        key = (n_channels, M, decision, nslots, sps_resamp,
                None if mesh is None else (tuple(mesh.axis_names),
                                           mesh.devices.shape))
         cache = getattr(self, "_dsp_wdm_ppm_jitted", None)
         if cache is None:
             cache = self._dsp_wdm_ppm_jitted = {}
         if key not in cache:
+            sps = self.params.sps
+
             def one(slots_c, info_c, seed_c, consts):
                 v, slot_samp = self.fn(slots_c, seed_c, consts)[:2]
-                pos = sdd_positions_jax(slot_samp, M)
-                rx_bits = positions_to_bits_jax(pos, M)
-                return jnp.sum(rx_bits != info_c.astype(jnp.uint8))
+                if decision == "soft":
+                    pos = sdd_positions_jax(slot_samp, M)
+                    rx_bits = positions_to_bits_jax(pos, M)
+                    n_err = jnp.sum(rx_bits != info_c.astype(jnp.uint8))
+                    return jnp.nan, n_err
+                _, rth, n_err = _ppm_hard_rx_ingraph(
+                    v, slot_samp, info_c, M, sps, nslots, sps_resamp,
+                    seed_c)
+                return rth, n_err
 
             cache[key] = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
 
@@ -1066,12 +1099,14 @@ class LinkProgram:
                 info_dev, NamedSharding(mesh, P(axis, None)))
             seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
 
-        n_err = np.asarray(jax.device_get(
-            cache[key](slots_dev, info_dev, seeds,
-                       self.consts))).astype(np.int64)
+        rth, n_err = jax.device_get(
+            cache[key](slots_dev, info_dev, seeds, self.consts))
+        n_err = np.asarray(n_err).astype(np.int64)
+        rth = np.asarray(rth, np.float64)
         return SimpleNamespace(
             ber=n_err / (n_sym * k), n_errors=n_err, M=M,
-            decision="soft", n_channels=n_channels,
+            decision=decision, n_channels=n_channels,
+            threshold=(None if np.isnan(rth).all() else rth),
             tx=bits.astype(np.uint8))
 
 

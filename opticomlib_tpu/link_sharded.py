@@ -60,7 +60,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.constants import e, k as kB, pi
 
 from .link import (EDFASpec, FiberSpec, LinkSpec, RepeatSpec,
-                   _ook_rx_ingraph, _pulse_taps,
+                   _ook_rx_ingraph, _ppm_hard_rx_ingraph, _pulse_taps,
                    _circular_zero_phase_spectrum, _stage_plan)
 from .ops import filters, ssfm
 from .ops.noise import gaussian_inside
@@ -111,11 +111,6 @@ class ShardedLinkProgram:
                  mesh: Mesh, time_axis: str = "time",
                  wdm_axis: Optional[str] = "wdm",
                  return_field: bool = False):
-        if spec.adc_bits is not None:
-            raise NotImplementedError(
-                "adc_bits needs a global sort; not supported on the "
-                "sharded path yet — quantize on host or use the "
-                "single-device program")
         self.spec = spec
         self.n_bits = int(n_bits)
         self.params = params
@@ -347,7 +342,9 @@ class ShardedLinkProgram:
             amp = jnp.full((lc, 1), P0_amp, jnp.float32)
             if sigma_rin > 0:
                 rin = _draw_v(_fold_v(k_rin, q), (block,), sigma_rin)
-                amp = amp * jnp.sqrt(1 + rin)
+                # clamp 1+rin at 0: a tail draw past -1 darkens one sample
+                # instead of NaN-ing the chain (same guard as link.py)
+                amp = amp * jnp.sqrt(jnp.maximum(1 + rin, 0.0))
             if sigma_ph > 0 or has_df:
                 E = amp * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
             else:
@@ -469,6 +466,21 @@ class ShardedLinkProgram:
             v = _spectral((i * jnp.float32(spec.pd_R_load)
                            ).astype(jnp.complex64),
                           consts_blk["H2_pd"]).real
+            if spec.adc_bits is not None:
+                # in-graph sharded ADC: the 99.99% shortest-interval range
+                # comes from a psum-reduced fixed-bin histogram quantile —
+                # no global sort needed (the estimator tolerates the
+                # bin-width error; reference devices.py:1616-1627)
+                from .ops.eyeana import shortest_int_hist
+                lo, hi = shortest_int_hist(
+                    v, 99.99,
+                    reduce_sum=lambda x: jax.lax.psum(x, t_ax),
+                    reduce_min=lambda x: jax.lax.pmin(x, t_ax),
+                    reduce_max=_pmax_t)
+                nq = jnp.float32(2 ** int(spec.adc_bits) - 1)
+                rng_q = (hi - lo)[..., None]
+                code = jnp.round((v - lo[..., None]) / rng_q * nq)
+                v = code / nq * rng_q + lo[..., None]
             out = (v, v[..., instant::sps])
             if return_field_flag:
                 out = out + (field.real, field.imag)  # (lc[,2],block)
@@ -613,16 +625,23 @@ class ShardedLinkProgram:
             threshold=float(r.threshold[0]), eye=Eye(eye_kw), tx=r.tx[0])
 
     def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
-                    bits=None, seed: int = 0, prbs_order: int = 15):
-        """M-PPM WDM sweep on the mesh: sharded chains + fused
-        soft-decision receivers (SDD argmax -> decode -> BER), the
-        sharded twin of :meth:`LinkProgram.dsp_wdm_ppm`."""
+                    bits=None, seed: int = 0, prbs_order: int = 15,
+                    nslots: int = 8192, sps_resamp: Optional[int] = None):
+        """M-PPM WDM sweep on the mesh: sharded chains + fused receivers,
+        the sharded twin of :meth:`LinkProgram.dsp_wdm_ppm`.
+
+        * ``decision="soft"``: per-symbol SDD argmax -> decode -> BER.
+        * ``decision="hard"``: per-channel eye metrology on the gathered
+          PD-voltage window (the same machinery :meth:`dsp_wdm` uses) ->
+          KDE/scan threshold -> slicer -> keyed HDD repair -> decode ->
+          BER (:func:`opticomlib_tpu.link._ppm_hard_rx_ingraph` vmapped
+          over the channel axis)."""
         from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
                                  sdd_positions_jax)
 
-        if decision.lower() != "soft":
-            raise NotImplementedError(
-                "sharded dsp_wdm_ppm supports decision='soft'")
+        decision = decision.lower()
+        if decision not in ("soft", "hard"):
+            raise ValueError('`decision` must be "hard" or "soft"')
         if M & (M - 1) != 0 or M < 2:
             raise ValueError("`M` must be a power of 2.")
         if self.n_bits % M != 0:
@@ -647,22 +666,39 @@ class ShardedLinkProgram:
 
         i_spec = (P(self.wdm_axis, None) if self.wdm_axis
                   else P(None, None))
-        key = ("ppm", n_channels, M)
+        key = ("ppm", n_channels, M, decision, nslots, sps_resamp)
         if key not in self._dsp_cache:
+            sps = self.params.sps
+            W = min(nslots, self.n_bits) * sps
 
             def prog(slots_in, info, seeds, consts):
-                slot_samp = self.fn(slots_in, seeds, consts)[1]
-                # per-symbol argmax wants whole symbols local: re-lay
-                # the (small) slot stream channel-sharded only
+                v, slot_samp = self.fn(slots_in, seeds, consts)[:2]
+                # per-symbol argmax / slicer wants whole symbols local:
+                # re-lay the (small) slot stream channel-sharded only
                 ss = jax.lax.with_sharding_constraint(
                     slot_samp, NamedSharding(self.mesh, i_spec))
 
-                def one(s_c, i_c):
-                    pos = sdd_positions_jax(s_c, M)
-                    rb = positions_to_bits_jax(pos, M)
-                    return jnp.sum(rb != i_c.astype(jnp.uint8))
+                if decision == "soft":
+                    def one(s_c, i_c):
+                        pos = sdd_positions_jax(s_c, M)
+                        rb = positions_to_bits_jax(pos, M)
+                        n_err = jnp.sum(rb != i_c.astype(jnp.uint8))
+                        return jnp.full((), jnp.nan, jnp.float32), n_err
 
-                return jax.vmap(one)(ss, info)
+                    return jax.vmap(one)(ss, info)
+
+                # hard: eye metrology on a small channel-sharded gathered
+                # voltage window (same re-layout as _dsp_program)
+                vw = jax.lax.with_sharding_constraint(
+                    v[:, :W], NamedSharding(self.mesh, i_spec))
+
+                def one(v_c, s_c, i_c, seed_c):
+                    _, rth, n_err = _ppm_hard_rx_ingraph(
+                        v_c, s_c, i_c, M, sps, nslots, sps_resamp,
+                        seed_c)
+                    return rth, n_err
+
+                return jax.vmap(one)(vw, ss, info, seeds)
 
             self._dsp_cache[key] = jax.jit(prog)
 
@@ -671,11 +707,15 @@ class ShardedLinkProgram:
         info_d = jax.device_put(
             jnp.asarray(bits.astype(np.float32)),
             NamedSharding(self.mesh, i_spec))
-        n_err = np.asarray(jax.device_get(self._dsp_cache[key](
-            slots_d, info_d, seeds_d, self.consts))).astype(np.int64)
+        rth, n_err = jax.device_get(self._dsp_cache[key](
+            slots_d, info_d, seeds_d, self.consts))
+        n_err = np.asarray(n_err).astype(np.int64)
+        rth = np.asarray(rth, np.float64)
         return SimpleNamespace(ber=n_err / (n_sym * k), n_errors=n_err,
-                               M=M, decision="soft",
+                               M=M, decision=decision,
                                n_channels=n_channels,
+                               threshold=(None if np.isnan(rth).all()
+                                          else rth),
                                tx=bits.astype(np.uint8))
 
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,

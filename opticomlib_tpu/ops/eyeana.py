@@ -29,7 +29,7 @@ from ..utils.analysis import shortest_int
 from .pulses import resample_fft
 
 __all__ = ["kmeans2_1d", "kmeans2_2d", "kde_min_threshold", "eye_metrics",
-           "eye_metrics_jax", "eye_metrics_jit"]
+           "eye_metrics_jax", "eye_metrics_jit", "shortest_int_hist"]
 
 
 def kmeans2_1d(y: np.ndarray, iters: int = 32):
@@ -315,6 +315,67 @@ def _shortest_int_masked(y, mask, percent: float = 50.0):
     n_tie = jnp.maximum(jnp.sum(tie), 1)
     i = (jnp.sum(jnp.where(tie, idx, 0)) // n_tie).astype(jnp.int32)
     return jnp.take(ys, i), jnp.take(ys, jnp.clip(i + lag, 0, y.size - 1))
+
+
+def shortest_int_hist(y, percent: float = 99.99, nbins: int = 8192,
+                      reduce_sum=None, reduce_min=None, reduce_max=None):
+    """Shortest interval containing ``percent`` % of the samples, computed
+    from a fixed-bin histogram — **no global sort**, so it composes with a
+    sharded sample axis: pass collectives (``psum``/``pmin``/``pmax`` over
+    the mesh axis) and each device contributes only its local block.
+
+    Device twin of :func:`opticomlib_tpu.utils.analysis.shortest_int`
+    (reference utils.py:1497-1537) up to bin quantization: the returned
+    bounds land on bin edges, an O(range/nbins) discretization the robust
+    range estimator it serves (the ADC's 99.99% quantization window,
+    reference devices.py:1616-1627) tolerates by construction.
+
+    ``y``: (..., n) float array (leading axes = independent channels; the
+    reductions/collectives run over the trailing axis only).  Returns
+    ``(lo, hi)`` with shape ``y.shape[:-1]``.
+    """
+    ident = (lambda x: x)
+    reduce_sum = reduce_sum or ident
+    reduce_min = reduce_min or ident
+    reduce_max = reduce_max or ident
+
+    y = jnp.real(jnp.asarray(y)).astype(jnp.float32)
+    lo_g = reduce_min(jnp.min(y, axis=-1))          # y.shape[:-1]
+    hi_g = reduce_max(jnp.max(y, axis=-1))
+    width = jnp.maximum(hi_g - lo_g,
+                        jnp.asarray(np.finfo(np.float32).tiny, y.dtype))
+
+    idx = jnp.clip(((y - lo_g[..., None]) / width[..., None]
+                    * nbins).astype(jnp.int32), 0, nbins - 1)
+
+    def _hist1(ii):
+        return jnp.zeros(nbins, jnp.float32).at[ii].add(1.0, mode="drop")
+
+    flat = idx.reshape(-1, idx.shape[-1])
+    hist = jax.vmap(_hist1)(flat).reshape(y.shape[:-1] + (nbins,))
+    hist = reduce_sum(hist)                          # global per-channel
+
+    cum = jnp.cumsum(hist, axis=-1)                  # inclusive
+    total = cum[..., -1:]
+    lag = jnp.maximum(total * jnp.float32(percent / 100.0), 1.0)
+    cum_before = cum - hist                          # count strictly before b
+    target = cum_before + lag
+
+    def _ss(c, t):
+        return jnp.searchsorted(c, t, side="left")
+
+    e = jax.vmap(_ss)(cum.reshape(-1, nbins),
+                      target.reshape(-1, nbins)).reshape(target.shape)
+    valid = e < nbins                                # lag samples fit from b
+    e_c = jnp.clip(e, 0, nbins - 1)
+    bw = (width / nbins)[..., None]
+    left = lo_g[..., None] + jnp.arange(nbins, dtype=y.dtype) * bw
+    right = lo_g[..., None] + (e_c + 1).astype(y.dtype) * bw
+    w_int = jnp.where(valid, right - left, jnp.inf)
+    b_star = jnp.argmin(w_int, axis=-1)[..., None]
+    lo = jnp.take_along_axis(left, b_star, axis=-1)[..., 0]
+    hi = jnp.take_along_axis(right, b_star, axis=-1)[..., 0]
+    return lo, hi
 
 
 def _kmeans2_2d_jax(t, y, mask, init, iters: int = 32):

@@ -376,7 +376,7 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
         mesh, P("time") if ndim == 1
         else P(None if wdm_axis is None else wdm_axis, "time"))
 
-    state = ck.latest()
+    state = ck.latest() if nproc == 1 else _multihost_agreed_state(ck)
     if state is not None:
         step, z, re, im, extra = state
         if nproc == 1:
@@ -410,6 +410,33 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
             ck.save(step, z, blocks.real, blocks.imag,
                     extra={"indices": indices})
     return A
+
+
+def _multihost_agreed_state(ck):
+    """Resume state all processes AGREE on (nproc > 1).
+
+    Each process independently keeps its own shard checkpoints; a crash
+    between per-host saves — or one host silently falling back past a
+    corrupt file — leaves hosts with different latest steps, and the
+    subsequent shard_map segments would silently combine shards
+    propagated to different distances.  So before resuming, every
+    process gathers the set of steps it can actually load (corrupt
+    files excluded by a real load attempt) and all resume from the
+    **highest step available on every host** — or from scratch when no
+    common step exists.
+    """
+    from jax.experimental import multihost_utils
+
+    keep = ck.keep
+    mine = [s for s in ck._steps() if ck.load(s) is not None][-keep:]
+    vec = np.full(keep, -1, np.int64)
+    vec[:len(mine)] = mine
+    rows = np.asarray(multihost_utils.process_allgather(vec))
+    sets = [set(int(x) for x in row if x >= 0) for row in rows]
+    common = set.intersection(*sets) if sets else set()
+    if not common:
+        return None
+    return ck.load(max(common))
 
 
 def _host_shard_blocks(A):

@@ -90,28 +90,37 @@ class PropagationCheckpointer:
             except OSError:
                 pass
 
+    def load(self, step: int) -> Optional[Tuple[int, float, np.ndarray,
+                                                np.ndarray, dict]]:
+        """Checkpoint ``step`` as (step, z, re, im, extra), or None when
+        the file is missing or corrupt.  A checkpoint written for a
+        different physics config is rejected (fingerprint mismatch ->
+        ValueError)."""
+        path = os.path.join(self.dir, self._name(step))
+        try:
+            with np.load(path) as d:
+                fp = bytes(d["fingerprint"]).decode()
+                payload = (int(d["step"]), float(d["z"]), d["re"].copy(),
+                           d["im"].copy(),
+                           json.loads(bytes(d["extra"]).decode()))
+        except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+            # truncated/corrupt archive (np.load raises BadZipFile or
+            # ValueError)
+            return None
+        if fp != self.fingerprint:
+            raise ValueError(
+                f"checkpoint {path} was written for a different "
+                f"configuration (fingerprint {fp} != {self.fingerprint})")
+        return payload
+
     def latest(self) -> Optional[Tuple[int, float, np.ndarray, np.ndarray,
                                        dict]]:
         """Most recent valid checkpoint as (step, z, re, im, extra), or
-        None.  A checkpoint written for a different physics config is
-        rejected (fingerprint mismatch -> ValueError)."""
+        None.  Falls back past corrupt files to the previous step."""
         for step in reversed(self._steps()):
-            path = os.path.join(self.dir, self._name(step))
-            try:
-                with np.load(path) as d:
-                    fp = bytes(d["fingerprint"]).decode()
-                    payload = (int(d["step"]), float(d["z"]), d["re"].copy(),
-                               d["im"].copy(),
-                               json.loads(bytes(d["extra"]).decode()))
-            except (OSError, KeyError, ValueError, zipfile.BadZipFile):
-                # truncated/corrupt archive (np.load raises BadZipFile or
-                # ValueError): fall back to the previous checkpoint
-                continue
-            if fp != self.fingerprint:
-                raise ValueError(
-                    f"checkpoint {path} was written for a different "
-                    f"configuration (fingerprint {fp} != {self.fingerprint})")
-            return payload
+            payload = self.load(step)
+            if payload is not None:
+                return payload
         return None
 
 

@@ -134,3 +134,29 @@ class TestFusedPPM:
             prog.dsp_ppm(M, decision="nope", bits=_bits())
         with pytest.raises(ValueError):
             prog.dsp_ppm(M, bits=np.ones(7))
+
+
+class TestWdmPpmHard:
+    def test_wdm_hard_matches_dsp_ppm_per_channel(self):
+        """Round-4: dsp_wdm_ppm(decision='hard') equals dsp_ppm(hard)
+        channel-for-channel (same per-channel graph: seed c -> seed+c,
+        same keyed HDD)."""
+        n_ch = 3
+        b, _ = _prbs(15, length=n_ch * N_SYM * K)
+        bits = np.asarray(b.data, np.uint8).reshape(n_ch, N_SYM * K)
+        prog = _prog(P0=-20, include_thermal=True)
+        sw = prog.dsp_wdm_ppm(n_ch, M=M, decision="hard", bits=bits,
+                              seed=4)
+        assert sw.decision == "hard"
+        assert sw.threshold is not None
+        for c in range(n_ch):
+            d = prog.dsp_ppm(M, decision="hard", bits=bits[c],
+                             seed=4 + c)
+            assert sw.n_errors[c] == d.n_errors, c
+            assert sw.threshold[c] == pytest.approx(d.threshold,
+                                                    rel=1e-6), c
+
+    def test_wdm_hard_noiseless_zero_ber(self):
+        prog = _prog()
+        sw = prog.dsp_wdm_ppm(2, M=M, decision="hard", seed=0)
+        assert (sw.ber == 0).all()

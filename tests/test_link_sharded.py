@@ -146,9 +146,6 @@ def test_sharded_wiener_phase_has_no_block_seams(params, mesh_t):
 def test_sharded_validation(params, mesh_t):
     with pytest.raises(ValueError, match="divisible"):
         build_link(_spec(()), 513, params=params, mesh=mesh_t)
-    with pytest.raises(NotImplementedError, match="adc"):
-        build_link(_spec((), adc_bits=8), N_BITS, params=params,
-                   mesh=mesh_t)
     pr = build_link(_spec(()), N_BITS, params=params, mesh=mesh_t)
     with pytest.raises(ValueError, match="shape"):
         pr.dsp_wdm(4, bits=np.zeros((4, 17)))
@@ -252,3 +249,42 @@ def test_sharded_rin_too_high_raises(params, mesh_t):
     spec = _spec((), rin=-80)
     with pytest.raises(ValueError, match="RIN"):
         build_link(spec, N_BITS, params=params, mesh=mesh_t)
+
+
+def test_sharded_adc_matches_unsharded(params, mesh_t):
+    """Round-4: the in-graph sharded ADC (psum-reduced histogram-quantile
+    99.99% shortest-interval range, no global sort) quantizes the
+    noiseless chain within one LSB of the unsharded exact-sort ADC."""
+    bits_n = 6
+    spec = _spec((_FIB,), adc_bits=bits_n)
+    pr0 = build_link(spec, N_BITS, params=params)
+    v0 = np.asarray(pr0.jitted(jnp.asarray(_BITS), jnp.uint32(0))[0])
+    pr1 = build_link(spec, N_BITS, params=params, mesh=mesh_t)
+    v1 = np.asarray(pr1.jitted(_BITS, np.uint32([0]))[0])[0]
+    lsb = (v0.max() - v0.min()) / (2 ** bits_n - 1)
+    assert np.max(np.abs(v1 - v0)) <= 1.5 * lsb
+    # quantization really happened: few distinct output levels
+    assert np.unique(np.round(v1, 9)).size <= 2 ** bits_n + 1
+
+
+def test_sharded_wdm_ppm_hard(params, mesh_wt):
+    """Round-4: hard-decision M-PPM on the sharded WDM path (eye
+    metrology on the gathered window + keyed HDD) decodes clean and
+    matches the unsharded hard receiver channel-for-channel."""
+    spec = _spec((FiberSpec(length=10, alpha=0.2, beta_2=-21.0, gamma=1.3,
+                            h=1.0),))
+    M, n_sym = 8, 64
+    prog = build_link(spec, n_sym * M, params=params, mesh=mesh_wt)
+    sw = prog.dsp_wdm_ppm(4, M=M, decision="hard", seed=0)
+    assert sw.ber.shape == (4,)
+    assert (sw.ber == 0).all()
+    assert sw.threshold is not None and np.isfinite(sw.threshold).all()
+    # reproducible (keyed HDD, deterministic metrology)
+    sw2 = prog.dsp_wdm_ppm(4, M=M, decision="hard", seed=0)
+    np.testing.assert_array_equal(sw.n_errors, sw2.n_errors)
+    # unsharded twin with the same bits: same decisions, close thresholds
+    pr0 = build_link(spec, n_sym * M, params=params)
+    sw0 = pr0.dsp_wdm_ppm(4, M=M, decision="hard", bits=sw.tx, seed=0)
+    np.testing.assert_array_equal(sw0.ber, sw.ber)
+    np.testing.assert_allclose(sw0.threshold, sw.threshold, rtol=1e-3,
+                               atol=1e-6)

@@ -218,3 +218,45 @@ def test_ssfm_return_steps_trajectory():
     assert z[0] == 0 and np.isclose(z[-1], 10)
     assert A_z.shape[0] == z.size
     assert A_z.shape[1] == n
+
+
+def test_shortest_int_hist_matches_sort_estimator():
+    """Round-4: the histogram-quantile shortest-interval estimator (no
+    global sort; powers the sharded in-graph ADC) agrees with the exact
+    sorted-sample estimator to within one bin width."""
+    import numpy as np
+
+    from opticomlib_tpu.ops.eyeana import shortest_int_hist
+    from opticomlib_tpu.utils.analysis import shortest_int
+
+    rng = np.random.default_rng(11)
+    nbins = 8192
+    for percent in (50.0, 99.99):
+        for data in (rng.normal(0.0, 1.0, 20000),
+                     np.concatenate([rng.normal(-2, 0.2, 10000),
+                                     rng.normal(3, 0.5, 10000)]),
+                     rng.standard_cauchy(20000)):
+            lo_h, hi_h = (float(x) for x in shortest_int_hist(
+                np.float32(data), percent, nbins=nbins))
+            lo_s, hi_s = shortest_int(data, percent)
+            bw = (data.max() - data.min()) / nbins
+            # width-optimal to within bin resolution (the exact argmin
+            # can sit anywhere on a flat width plateau, so the BOUNDS
+            # need not coincide — the WIDTH and the coverage must)
+            assert (hi_h - lo_h) <= (hi_s - lo_s) + 2 * bw + 1e-6, percent
+            cover = np.mean((data >= lo_h) & (data <= hi_h))
+            assert cover >= percent / 100.0 - 2e-3, (percent, cover)
+
+
+def test_shortest_int_hist_batched():
+    """Leading axes are independent channels."""
+    import numpy as np
+
+    from opticomlib_tpu.ops.eyeana import shortest_int_hist
+
+    rng = np.random.default_rng(12)
+    y = np.stack([rng.normal(0, 1, 4096), rng.normal(10, 0.1, 4096)])
+    lo, hi = shortest_int_hist(np.float32(y), 99.99)
+    assert lo.shape == hi.shape == (2,)
+    assert -5 < lo[0] < -2 and 2 < hi[0] < 5
+    assert 9 < lo[1] < 10 and 10 < hi[1] < 11

@@ -180,13 +180,17 @@ def test_enable_cache_env_handling(tmp_path, monkeypatch):
     # off-style values (any casing) in the import hook -> no call
     calls = []
     monkeypatch.setattr(rc, "enable_cache", lambda *a, **k: calls.append(1))
-    for v in ("", "0", "false", "off", "OFF", "No", "FALSE"):
+    for v in ("0", "false", "off", "OFF", "No", "FALSE"):
         monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
         rc._maybe_enable_from_env()
     assert not calls
-    monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", "1")
+    # unset/empty -> DEFAULT-ON (round-4: cache enabled out of the box)
+    for v in ("", "1"):
+        monkeypatch.setenv("OPTICOMLIB_TPU_CACHE", v)
+        rc._maybe_enable_from_env()
+    monkeypatch.delenv("OPTICOMLIB_TPU_CACHE")
     rc._maybe_enable_from_env()
-    assert calls == [1]
+    assert calls == [1, 1, 1]
 
 
 def test_checkpointer_shard_isolation(tmp_path):
@@ -226,8 +230,12 @@ def test_resumable_rejects_different_frequency_grid(tmp_path):
     w1 = 2 * np.pi * np.fft.fftfreq(n) * 640e9
     w2 = 2 * np.pi * np.fft.fftfreq(n) * 320e9
     d = str(tmp_path)
+    # every config field identical between the two calls EXCEPT the w
+    # grid, so the ValueError can only come from the w_grid fingerprint
+    # entry (round-4 advisor fix: varying length too would trip the
+    # fingerprint even without the w_grid entry)
     ssfm_propagate_resumable(A, w1, 2.0, d, 1.0, alpha=0.2,
                              beta_2=-21.0, gamma=1.3, h=0.5)
     with pytest.raises(ValueError, match="different"):
-        ssfm_propagate_resumable(A, w2, 4.0, d, 1.0, alpha=0.2,
+        ssfm_propagate_resumable(A, w2, 2.0, d, 1.0, alpha=0.2,
                                  beta_2=-21.0, gamma=1.3, h=0.5)

@@ -1113,7 +1113,8 @@ class LinkProgram:
 def build_link(spec: LinkSpec, n_bits: int,
                params: Optional[SimParams] = None,
                return_field: bool = False, mesh=None,
-               time_axis: str = "time", wdm_axis: Optional[str] = "wdm"):
+               time_axis: str = "time", wdm_axis: Optional[str] = "wdm",
+               span_mesh=None, span_axis: str = "span"):
     """Compile the full TX->channel->RX chain described by ``spec`` into
     one XLA program for ``n_bits`` slots at the current (or given)
     simulation parameters.
@@ -1124,8 +1125,23 @@ def build_link(spec: LinkSpec, n_bits: int,
     ShardedLinkProgram`): the waveform's sample axis shards over the
     mesh (exact pencil-FFT spectral ops, adaptive SSFM with
     all-reduce(max)), WDM channels ride data-parallel, and the fused
-    receivers (``dsp``/``dsp_wdm``) keep everything device-resident."""
+    receivers (``dsp``/``dsp_wdm``) keep everything device-resident.
+
+    Pass ``span_mesh`` (a 1-D mesh, e.g. ``make_span_mesh(8)``) to
+    build the **pipelined** fused link instead
+    (:class:`opticomlib_tpu.link_pipeline.PipelinedLinkProgram`): the
+    channel-stage chain (FIBER+EDFA spans, DBP with undo-gain, DM —
+    e.g. config 4's 20x80 km chain) is distributed over the mesh and a
+    batch of channels streams through it (``dsp_wdm``), TX and RX
+    running channel-parallel on each channel's owner device."""
     params = params if params is not None else gv.params
+    if mesh is not None and span_mesh is not None:
+        raise ValueError("pass either mesh= (time/wdm sharding) or "
+                         "span_mesh= (span pipelining), not both")
+    if span_mesh is not None:
+        from .link_pipeline import PipelinedLinkProgram
+        return PipelinedLinkProgram(spec, n_bits, params, span_mesh,
+                                    span_axis=span_axis)
     if mesh is not None:
         from .link_sharded import ShardedLinkProgram
         return ShardedLinkProgram(spec, n_bits, params, mesh,

@@ -77,8 +77,25 @@ def kmeans2_2d(pts: np.ndarray, init: np.ndarray, iters: int = 32):
     return centers
 
 
+#: relative density excess defining the argmin's flat "plateau": grid
+#: points with pdf <= pdf_min + PLATEAU_TOL*(pdf_max - pdf_min) are
+#: indistinguishable minima at engine precision, so any of them is a
+#: defensible threshold.  The plateau WIDTH is the quantitative bound on
+#: how far the host and device engines' thresholds may legitimately
+#: diverge (VERDICT round-3 #7); it is returned as a diagnostic by both.
+PLATEAU_TOL = 1e-3
+
+
+def _plateau_width_np(grid: np.ndarray, pdf: np.ndarray) -> float:
+    rng = pdf.max() - pdf.min()
+    flat = pdf <= pdf.min() + PLATEAU_TOL * max(rng, 1e-300)
+    dg = grid[1] - grid[0] if grid.size > 1 else 0.0
+    return float(flat.sum() * abs(dg))
+
+
 def kde_min_threshold(y: np.ndarray, mu0: float, mu1: float,
-                      npts: int = 500, nbins: int = 4096) -> Optional[float]:
+                      npts: int = 500, nbins: int = 4096,
+                      return_plateau: bool = False):
     """Decision threshold at the minimum of the amplitude density between
     the two levels (reference devices.py:1852-1859).
 
@@ -87,13 +104,18 @@ def kde_min_threshold(y: np.ndarray, mu0: float, mu1: float,
     O(npts*n) KDE evaluation, the density is computed from a fine histogram
     convolved with the Gaussian kernel (O(n + nbins log nbins)) — identical
     argmin location up to the bin width.
+
+    ``return_plateau=True`` additionally returns the width of the flat
+    density region around the minimum (see :data:`PLATEAU_TOL`) — the
+    scale on which the argmin is ill-conditioned and engine choices may
+    differ.
     """
     y = np.asarray(y, dtype=np.float64).ravel()
-    if y.size < 2 or not np.all(np.isfinite([mu0, mu1])) or mu0 == mu1:
-        return None
-    bw = y.std() * y.size ** (-1 / 5)
-    if bw <= 0:
-        return None
+    bad = (y.size < 2 or not np.all(np.isfinite([mu0, mu1]))
+           or mu0 == mu1)
+    bw = y.std() * y.size ** (-1 / 5) if not bad else 0.0
+    if bad or bw <= 0:
+        return (None, None) if return_plateau else None
 
     lo_g, hi_g = min(mu0, mu1), max(mu0, mu1)
     lo = min(y.min(), lo_g) - 5 * bw
@@ -109,7 +131,10 @@ def kde_min_threshold(y: np.ndarray, mu0: float, mu1: float,
 
     grid = np.linspace(mu0, mu1, npts)
     pdf = np.interp(grid, centers, pdf_bins)
-    return float(grid[int(pdf.argmin())])
+    thr = float(grid[int(pdf.argmin())])
+    if return_plateau:
+        return thr, _plateau_width_np(grid, pdf)
+    return thr
 
 
 def _find_nearest(levels: np.ndarray, value):
@@ -236,10 +261,13 @@ def eye_metrics(input_samples: np.ndarray, sps: int, nslots: int = 4096,
     out["mu0"] = mu0 = float(np.nanmean(y_bot)) if bot_sel.any() else np.nan
     out["s0"] = s0 = float(np.nanstd(y_bot)) if bot_sel.any() else np.nan
 
-    # 7. KDE threshold (devices.py:1852-1859)
+    # 7. KDE threshold (devices.py:1852-1859) + plateau-width diagnostic
     y_win = y[window]
-    out["threshold"] = (kde_min_threshold(y_win, mu0, mu1)
-                        if np.isfinite([mu0, mu1]).all() else None)
+    thr, plateau = (kde_min_threshold(y_win, mu0, mu1,
+                                      return_plateau=True)
+                    if np.isfinite([mu0, mu1]).all() else (None, None))
+    out["threshold"] = thr
+    out["threshold_plateau"] = plateau
 
     # 8. ER and eye opening (devices.py:1862-1865)
     out["er"] = (10 * np.log10(mu1 / mu0) if mu0 > 0
@@ -401,7 +429,8 @@ def _kde_min_threshold_jax(y, mask, mu0, mu1, npts: int = 500,
                            nbins: int = 4096):
     """Device twin of :func:`kde_min_threshold`: Scott's-rule Gaussian KDE
     over the masked window, evaluated on a ``npts`` grid between the two
-    levels via a fixed-size histogram contraction (O(n + npts*nbins))."""
+    levels via a fixed-size histogram contraction (O(n + npts*nbins)).
+    Returns ``(threshold, plateau_width)`` — see :data:`PLATEAU_TOL`."""
     n_win = jnp.sum(mask)
     bw = _masked_std(y, mask) * jnp.maximum(n_win, 1).astype(y.dtype) ** (-1 / 5)
 
@@ -427,7 +456,13 @@ def _kde_min_threshold_jax(y, mask, mu0, mu1, npts: int = 500,
     thr = grid[jnp.argmin(pdf)]
     ok = (n_win >= 2) & jnp.isfinite(mu0) & jnp.isfinite(mu1) \
         & (mu0 != mu1) & (bw > 0)
-    return jnp.where(ok, thr, jnp.nan)
+    rng = pdf.max() - pdf.min()
+    flat = pdf <= pdf.min() + jnp.float32(PLATEAU_TOL) * jnp.maximum(
+        rng, jnp.asarray(np.finfo(np.float32).tiny, y.dtype))
+    dg = jnp.abs(grid[1] - grid[0]) if npts > 1 else jnp.float32(0.0)
+    plateau = jnp.sum(flat).astype(y.dtype) * dg
+    return (jnp.where(ok, thr, jnp.nan),
+            jnp.where(ok, plateau, jnp.nan))
 
 
 def eye_metrics_jax(samples, sps: int, nslots: int = 4096,
@@ -551,8 +586,9 @@ def eye_metrics_jax(samples, sps: int, nslots: int = 4096,
     out["mu0"] = mu0 = _masked_mean(y, bot_sel)
     out["s0"] = s0 = _masked_std(y, bot_sel)
 
-    # 7. KDE threshold
-    out["threshold"] = _kde_min_threshold_jax(y, window, mu0, mu1)
+    # 7. KDE threshold + plateau-width diagnostic
+    out["threshold"], out["threshold_plateau"] = _kde_min_threshold_jax(
+        y, window, mu0, mu1)
 
     # 8. ER and eye opening
     out["er"] = jnp.where(

@@ -49,7 +49,8 @@ from ..ops.noise import gaussian_inside
 from ..ops.ssfm import (alpha_per_km, dispersion_phase, ssfm_scan_inside,
                         ssfm_step_schedule, ssfm_while_inside)
 
-__all__ = ["make_span_mesh", "span_pipeline"]
+__all__ = ["make_span_mesh", "span_pipeline", "span_pipeline_stages",
+           "pipeline_stages_core"]
 
 
 def make_span_mesh(n_spans: int, devices=None) -> Mesh:
@@ -242,3 +243,318 @@ def span_pipeline(
     A_batch = jax.device_put(A_batch,
                              NamedSharding(mesh, P(span_axis, None)))
     return run(A_batch)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous stage-block pipelining (round 4): the full LinkSpec stage
+# vocabulary — FIBER(+EDFA) spans, DBP with undo-gain, DM, attenuators,
+# RepeatSpec blocks — distributed over the 'span' mesh axis, with 2-pol
+# keyed ASE.  This is what makes config 4's 20x80 km FIBER+EDFA / DBP
+# chain a *pipelineable public capability* instead of a same-span-only
+# primitive.
+# ---------------------------------------------------------------------------
+
+def _flatten_stage_specs(stages):
+    """Expand RepeatSpec blocks into a flat stage list."""
+    from ..link import RepeatSpec
+
+    flat = []
+    for st in stages:
+        if isinstance(st, RepeatSpec):
+            for _ in range(st.n):
+                flat.extend(st.stages)
+        else:
+            flat.append(st)
+    return flat
+
+
+def _stage_segments(stages, fs, f0):
+    """Lower a flat LinkSpec stage tuple to per-segment parameter vectors.
+
+    A *segment* is one pipeline work unit: ``x *= pre; SSFM(length, h |
+    phi_max); x *= gain; x += keyed 2-pol ASE``.  Every supported stage
+    maps onto it:
+
+    * ``FiberSpec`` (+ an immediately following ``EDFASpec`` merged in)
+      — the classic span; ``DBPSpec`` folds its sign flip and undo-gain
+      into (beta, gamma, alpha, pre);
+    * a standalone ``EDFASpec`` — zero-length segment (gain/ASE only);
+    * ``DMSpec`` — linear-only unit segment with ``beta_2*length = D``.
+
+    Returns (params dict of float64 np arrays, any_ase flag).
+    """
+    from scipy.constants import c as c_light
+
+    from ..link import (BPFSpec, DBPSpec, DMSpec, EDFASpec, FiberSpec)
+    from ..ops.noise import ase_sigma
+    from ..ops.ssfm import alpha_per_km
+
+    if f0 is None:
+        f0 = c_light / 1550e-9
+
+    flat = _flatten_stage_specs(stages)
+    cols = {k: [] for k in ("pre", "length", "h", "phi_max", "alpha",
+                            "beta_2", "beta_3", "gamma", "gain",
+                            "sigma_ase")}
+
+    def push(pre=1.0, length=0.0, h=0.0, phi_max=0.05, alpha=0.0,
+             beta_2=0.0, beta_3=0.0, gamma=0.0, gain=1.0, sigma_ase=0.0):
+        for k, v in locals().items():
+            if k in cols:
+                cols[k].append(float(v))
+
+    def edfa_vals(st):
+        gain = 10.0 ** (st.G / 20.0)
+        sig = ase_sigma(st.G, st.NF, f0, fs) if st.NF is not None else 0.0
+        return gain, sig
+
+    i = 0
+    while i < len(flat):
+        st = flat[i]
+        if isinstance(st, FiberSpec):            # incl. DBPSpec
+            sgn = -1.0 if isinstance(st, DBPSpec) else 1.0
+            pre = 1.0
+            if isinstance(st, DBPSpec) and st.undo_gain_dB:
+                pre = 10.0 ** (-st.undo_gain_dB / 20.0)
+            gain, sig = 1.0, 0.0
+            if i + 1 < len(flat) and isinstance(flat[i + 1], EDFASpec):
+                nxt = flat[i + 1]
+                if nxt.BW is None:               # BW needs a response
+                    gain, sig = edfa_vals(nxt)   # array; keep separate
+                    i += 1
+            push(pre=pre, length=st.length,
+                 h=(0.0 if st.h is None else st.h), phi_max=st.phi_max,
+                 alpha=sgn * alpha_per_km(st.alpha),
+                 beta_2=sgn * st.beta_2, beta_3=sgn * st.beta_3,
+                 gamma=sgn * st.gamma, gain=gain, sigma_ase=sig)
+        elif isinstance(st, EDFASpec):
+            if st.BW is not None:
+                raise NotImplementedError(
+                    "EDFASpec(BW=...) output filters are not supported "
+                    "on the span pipeline (use the fused link)")
+            gain, sig = edfa_vals(st)
+            push(gain=gain, sigma_ase=sig)
+        elif isinstance(st, DMSpec):
+            # H = exp(j w_ps^2 D/2) == a 1 km linear-only span with
+            # beta_2 = D (fiber linear phase (beta_2/2) w_ps^2 * h)
+            push(length=1.0, h=1.0, beta_2=st.D)
+        elif isinstance(st, BPFSpec):
+            raise NotImplementedError(
+                "BPFSpec is not supported on the span pipeline (its "
+                "|H|^2 response is a length-n array per stage; use the "
+                "fused link)")
+        else:
+            raise ValueError(f"unsupported pipeline stage {st!r}")
+        i += 1
+
+    params = {k: np.asarray(v, np.float64) for k, v in cols.items()}
+    return params, bool(np.any(params["sigma_ase"] > 0))
+
+
+def _segment_ssfm(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
+                  h_fixed, phi_max):
+    """Unified fixed/adaptive SSFM over one segment, all physics as
+    traced scalars (so one trace serves every segment of a heterogeneous
+    pipeline).  ``h_fixed == 0`` selects the reference phi_max-adaptive
+    criterion (devices.py:1156/1193-1196); the step math is the same
+    frozen-operator symmetric NL-L-NL step as the fused link
+    (:func:`opticomlib_tpu.ops.ssfm._nl_l_nl_step`), so a fixed-step
+    pipeline segment is bit-identical to the fused program's scan."""
+    phi_w = (beta_2 * jnp.float32(0.5)) * w2 + \
+        (beta_3 * jnp.float32(1.0 / 6.0)) * w3
+    tiny = jnp.float32(1e-30)
+    h_floor = jnp.maximum(length, jnp.float32(1.0)) * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(4_000_000)
+
+    def cond(c):
+        _, z, steps = c
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(c):
+        x, z, steps = c
+        maxP = jnp.max(x.real * x.real + x.imag * x.imag)
+        h_ad = jnp.minimum(phi_max / jnp.maximum(jnp.abs(gamma) * maxP,
+                                                 tiny), length)
+        h = jnp.where(h_fixed > 0, h_fixed, h_ad)
+        h = jnp.minimum(h, length - z)
+        h = jnp.maximum(h, h_floor)
+        phi = (gamma * (h / 2)) * (x.real * x.real + x.imag * x.imag)
+        half_nl = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+        x = x * half_nl
+        th = phi_w * h
+        E = jax.lax.complex(jnp.cos(th), jnp.sin(th)) * jnp.exp(
+            jnp.float32(-0.5) * alpha * h)
+        x = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * E, axis=-1)
+        return x * half_nl, z + h, steps + 1
+
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (x, jnp.float32(0.0), jnp.int32(0)))
+    return x
+
+
+def span_pipeline_stages(
+    A_batch,
+    mesh: Mesh,
+    fs: float,
+    stages,
+    f0: Optional[float] = None,
+    seed: int = 0,
+    span_axis: str = "span",
+):
+    """Pipeline a batch of ``B`` waveforms through a **heterogeneous**
+    LinkSpec stage chain distributed over the 'span' mesh axis.
+
+    ``stages``: the :class:`opticomlib_tpu.link.LinkSpec` channel-stage
+    vocabulary — ``FiberSpec``/``DBPSpec`` (optionally followed by an
+    ``EDFASpec`` merged into the same segment), standalone ``EDFASpec``,
+    ``DMSpec``, and ``RepeatSpec`` blocks (expanded).  The flattened
+    segment count must be a multiple of the mesh's span count ``S``;
+    device ``d`` owns segments ``[d*K, (d+1)*K)`` and executes them
+    back-to-back as one pipeline stage (config 4's 20x FIBER+EDFA +
+    20x DBP chain on 8 devices -> 5 segments per device).
+
+    2-pol keyed ASE: when any segment amplifies with ``NF`` set, the
+    batch is promoted to (B, 2, n) at entry and each segment's ASE is
+    drawn with ``fold_in(fold_in(PRNGKey(seed), m), s)`` — a pure
+    function of (microbatch ``m``, segment ``s``), NOT of the pipeline
+    schedule, so the result is bit-identical to the sequential
+    segment-by-segment chain (tested in tests/test_parallel.py).
+
+    Returns a (B, n) — or (B, 2, n) when ASE promoted — complex
+    jax.Array sharded over ``span_axis`` (device ``d`` holds rows
+    ``[d*B/S, (d+1)*B/S)``).
+    """
+    A_batch = jnp.asarray(A_batch, dtype=jnp.complex64)
+    if A_batch.ndim != 2:
+        raise ValueError("A_batch must be (B, n)")
+    B, n = A_batch.shape
+    run, any_ase, pol_shape = pipeline_stages_core(
+        mesh, fs, stages, n=n, B=B, f0=f0, seed=seed, span_axis=span_axis)
+    if any_ase:
+        A_batch = jnp.stack([A_batch, jnp.zeros_like(A_batch)], axis=1)
+    A_batch = jax.device_put(
+        A_batch, NamedSharding(mesh, P(span_axis,
+                                       *(None,) * len(pol_shape))))
+    return jax.jit(run)(A_batch)
+
+
+def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
+                         f0: Optional[float] = None, seed: int = 0,
+                         span_axis: str = "span"):
+    """Build the (unjitted) shard_map'd pipeline runner for
+    :func:`span_pipeline_stages` — factored out so the fused link can
+    embed the pipeline inside ITS one jitted program
+    (:class:`opticomlib_tpu.link_pipeline.PipelinedLinkProgram`).
+
+    Returns ``(run, any_ase, pol_shape)``: ``run`` maps a (B,) +
+    pol_shape complex batch sharded ``P(span_axis, None, ...)`` to the
+    propagated batch with the same sharding.
+    """
+    S = mesh.shape[span_axis]
+    if B % S:
+        raise ValueError(
+            f"batch size {B} must be a multiple of the span count {S}")
+    C = B // S
+
+    params, any_ase = _stage_segments(stages, fs, f0)
+    n_seg = params["length"].size
+    if n_seg == 0:
+        raise ValueError("stages resolve to zero pipeline segments")
+    if n_seg % S:
+        raise ValueError(
+            f"{n_seg} segments not a multiple of the span count {S}; "
+            "pad with RepeatSpec/identity stages or change the mesh")
+    K = n_seg // S
+
+    pvec = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    base_key = jax.random.PRNGKey(seed)
+
+    w_ps = 2 * np.pi * np.fft.fftfreq(n) * fs * 1e-12  # rad/ps
+    w2 = jnp.asarray((w_ps ** 2).astype(np.float32))
+    w3 = jnp.asarray((w_ps ** 3).astype(np.float32))
+
+    pol_shape = (2, n) if any_ase else (n,)
+
+    def stage_step(x, m, d):
+        """All K local segments, back to back (one pipeline stage)."""
+        def seg(j, x):
+            s = d * K + j
+            x = x * pvec["pre"][s]
+            x = _segment_ssfm(x, w2, w3, pvec["length"][s],
+                              pvec["alpha"][s], pvec["beta_2"][s],
+                              pvec["beta_3"][s], pvec["gamma"][s],
+                              pvec["h"][s], pvec["phi_max"][s])
+            x = x * pvec["gain"][s]
+            if any_ase:
+                k_ms = jax.random.fold_in(
+                    jax.random.fold_in(base_key, jnp.maximum(m, 0)), s)
+                dr = gaussian_inside(k_ms, (4, n), 1.0)
+                x = x + pvec["sigma_ase"][s] * jax.lax.complex(dr[:2],
+                                                               dr[2:])
+            return x
+
+        return jax.lax.fori_loop(0, K, seg, x)
+
+    # ---- schedule bookkeeping: identical to span_pipeline ----
+    T1 = B + S - 1
+    T2 = T1
+    while ((T2 - S + 1) % B) < (S - 1) * C:
+        T2 += 1
+    j0 = ((T2 - S + 1) % B) - (S - 1) * C
+    n_drain = T2 - T1  # noqa: F841  (documentation of the drain length)
+
+    ring_left = [(i, (i - 1) % S) for i in range(S)]
+    chain_right = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(span_axis, *(None,) * len(pol_shape)),),
+             out_specs=P(span_axis, *(None,) * len(pol_shape)),
+             check_vma=False)
+    def run(feed0):
+        d = jax.lax.axis_index(span_axis)
+        is_first = d == 0
+        is_last = d == S - 1
+
+        def rotate(buf, slot):
+            front = jax.lax.dynamic_slice(
+                buf, (slot,) + (0,) * len(pol_shape), (1,) + pol_shape)[0]
+            recv = jax.lax.ppermute(front, span_axis, ring_left)
+            return jax.lax.dynamic_update_slice(
+                buf, recv[None], (slot,) + (0,) * len(pol_shape))
+
+        def tick(t, carry):
+            feed, out, pipe = carry
+            fslot = jnp.mod(t, C)
+            front = jax.lax.dynamic_slice(
+                feed, (fslot,) + (0,) * len(pol_shape),
+                (1,) + pol_shape)[0]
+            x_in = jnp.where(is_first, front, pipe)
+
+            m = t - d
+            active = jnp.logical_and(m >= 0, m < B)
+            y = stage_step(x_in, m, d)
+            y = jnp.where(active, y, jnp.zeros_like(y))
+
+            oslot = jnp.mod(j0 + t, C)
+            write = jnp.logical_and(active, is_last)
+            cur = jax.lax.dynamic_slice(
+                out, (oslot,) + (0,) * len(pol_shape), (1,) + pol_shape)[0]
+            out = jax.lax.dynamic_update_slice(
+                out, jnp.where(write, y, cur)[None],
+                (oslot,) + (0,) * len(pol_shape))
+
+            feed = rotate(feed, fslot)
+            out = rotate(out, jnp.mod(t, C))
+            pipe = jax.lax.ppermute(y, span_axis, chain_right)
+            return feed, out, pipe
+
+        def drain(t, out):
+            return rotate(out, jnp.mod(t, C))
+
+        out0 = jnp.zeros((C,) + pol_shape, jnp.complex64)
+        pipe0 = jnp.zeros(pol_shape, jnp.complex64)
+        feed, out, _ = jax.lax.fori_loop(0, T1, tick, (feed0, out0, pipe0))
+        out = jax.lax.fori_loop(T1, T2, drain, out)
+        return jnp.roll(out, -(T2 % C), axis=0)
+
+    return run, any_ase, pol_shape

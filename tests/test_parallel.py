@@ -573,3 +573,121 @@ def test_ase_physics_single_source():
                        bpf_name=lambda *a: "h", wrap_hs=lambda x: x)
     np.testing.assert_allclose(plan[0]["sigma_ase"],
                                ase_sigma(20.0, 5.0, 193.4e12, 640e9))
+
+
+def test_span_pipeline_stages_config4_matches_fused_link(devices):
+    """Round-4 (VERDICT #4): the heterogeneous stage pipeline runs the
+    config-4 shape — N x (FIBER+EDFA) spans followed by N x DBP spans
+    with undo-gain — distributed over 8 devices, and reproduces the
+    sequential fused LinkProgram's channel output."""
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.link import (DBPSpec, EDFASpec, FiberSpec,
+                                     LinkSpec, RepeatSpec, build_link)
+    from opticomlib_tpu.parallel.pipeline import (make_span_mesh,
+                                                  span_pipeline_stages)
+    from opticomlib_tpu.params import SimParams
+
+    sps, R, n_bits = 8, 10e9, 256
+    params = SimParams.create(sps=sps, R=R, _warn=False)
+    stages = (
+        RepeatSpec(4, (FiberSpec(length=20, alpha=0.2, beta_2=-21.0,
+                                 gamma=1.3, h=0.5),
+                       EDFASpec(G=4.0))),
+        RepeatSpec(4, (DBPSpec(length=20, alpha=0.2, beta_2=-21.0,
+                               gamma=1.3, h=0.5, undo_gain_dB=4.0),)),
+    )
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                pd_BW=0.75 * R, include_thermal=False, include_shot=False)
+    prog_b2b = build_link(LinkSpec(**base), n_bits, params=params,
+                          return_field=True)
+    prog_full = build_link(LinkSpec(stages=stages, **base), n_bits,
+                           params=params, return_field=True)
+
+    B = 8
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, (B, n_bits)).astype(np.float32)
+    f_in, f_out = [], []
+    for c in range(B):
+        o0 = prog_b2b.jitted(jnp.asarray(bits[c]), jnp.uint32(0))
+        f_in.append(np.asarray(o0[2]) + 1j * np.asarray(o0[3]))
+        o1 = prog_full.jitted(jnp.asarray(bits[c]), jnp.uint32(0))
+        f_out.append(np.asarray(o1[2]) + 1j * np.asarray(o1[3]))
+    f_in = np.stack(f_in)
+    f_out = np.stack(f_out)
+
+    mesh = make_span_mesh(8, devices=devices[:8])
+    out = np.asarray(span_pipeline_stages(f_in, mesh, fs=params.fs,
+                                          stages=stages))
+    scale = np.max(np.abs(f_out))
+    assert np.max(np.abs(out - f_out)) < 2e-5 * scale
+    # round trip really inverted the link (DBP undoes the spans)
+    assert np.max(np.abs(out - f_in)) < 5e-3 * scale
+
+
+def test_span_pipeline_stages_schedule_independence_with_ase(devices):
+    """Keyed 2-pol ASE: the 8-device pipelined run is bit-identical to
+    the 1-device (fully sequential) run of the same segment chain —
+    the noise keys are functions of (microbatch, segment), not of the
+    schedule."""
+    from opticomlib_tpu.link import EDFASpec, FiberSpec, RepeatSpec
+    from opticomlib_tpu.parallel.pipeline import (make_span_mesh,
+                                                  span_pipeline_stages)
+
+    B, n, fs = 8, 1024, 160e9
+    rng = np.random.default_rng(5)
+    A = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))
+         ).astype(np.complex64) * 0.1
+    stages = (RepeatSpec(8, (FiberSpec(length=5, alpha=0.2, beta_2=-21.0,
+                                       gamma=1.3, h=0.5),
+                             EDFASpec(G=1.0, NF=5.0))),)
+
+    out_seq = np.asarray(span_pipeline_stages(
+        A, make_span_mesh(1, devices=devices[:1]), fs, stages, seed=3))
+    out_pipe = np.asarray(span_pipeline_stages(
+        A, make_span_mesh(8, devices=devices[:8]), fs, stages, seed=3))
+    assert out_pipe.shape == (B, 2, n)      # ASE promoted to 2 pol
+    np.testing.assert_array_equal(out_pipe, out_seq)
+
+
+def test_span_pipeline_stages_dm_and_attenuator(devices):
+    """DMSpec and standalone (noiseless) EDFASpec lower to zero-length /
+    linear-only segments; mixed chain matches the fused link."""
+    import jax.numpy as jnp
+
+    from opticomlib_tpu.link import (DMSpec, EDFASpec, FiberSpec,
+                                     LinkSpec, build_link)
+    from opticomlib_tpu.parallel.pipeline import (make_span_mesh,
+                                                  span_pipeline_stages)
+    from opticomlib_tpu.params import SimParams
+
+    sps, R, n_bits = 8, 10e9, 256
+    params = SimParams.create(sps=sps, R=R, _warn=False)
+    stages = (FiberSpec(length=40, alpha=0.2, beta_2=-21.0, gamma=0.0),
+              DMSpec(D=21.0 * 40), EDFASpec(G=-3.0),
+              FiberSpec(length=10, alpha=0.0, beta_2=-5.0, gamma=1.3,
+                        h=0.5))
+    base = dict(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                pd_BW=0.75 * R, include_thermal=False, include_shot=False)
+    prog_b2b = build_link(LinkSpec(**base), n_bits, params=params,
+                          return_field=True)
+    prog_full = build_link(LinkSpec(stages=stages, **base), n_bits,
+                           params=params, return_field=True)
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, (4, n_bits)).astype(np.float32)
+    f_in, f_out = [], []
+    for c in range(4):
+        o0 = prog_b2b.jitted(jnp.asarray(bits[c]), jnp.uint32(0))
+        f_in.append(np.asarray(o0[2]) + 1j * np.asarray(o0[3]))
+        o1 = prog_full.jitted(jnp.asarray(bits[c]), jnp.uint32(0))
+        f_out.append(np.asarray(o1[2]) + 1j * np.asarray(o1[3]))
+    f_in, f_out = np.stack(f_in), np.stack(f_out)
+
+    # 4 segments (fiber, dm, edfa, fiber) over 4 devices, B=4
+    mesh = make_span_mesh(4, devices=devices[:4])
+    out = np.asarray(span_pipeline_stages(f_in, mesh, fs=params.fs,
+                                          stages=stages))
+    scale = np.max(np.abs(f_out))
+    assert np.max(np.abs(out - f_out)) < 2e-5 * scale

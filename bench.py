@@ -97,6 +97,54 @@ def _build_ook_link(stages, n_bits=N_BITS, sps=SPS, P0=16.0):
     return build_link(spec, n_bits=n_bits, params=params)
 
 
+def bench_ssfm_equal_accuracy():
+    """Equal-ACCURACY headline (VERDICT round-3 #1): the same 2^24-sample
+    config-2 propagation with the 4th-order Yoshida scheme at the step
+    size calibrated to match the reference scheme's OUTPUT ERROR
+    (EQUAL_ACCURACY.json, produced by
+    scripts/calibrate_equal_accuracy.py: largest o4 step whose relative
+    L2 error vs an o4 h=0.05 truth run is <= the phi_max=0.01 reference
+    scheme's error).  Same accuracy, ~6x fewer FFT pairs -> the honest
+    competitive number vs the reference's only scheme."""
+    import jax
+
+    from opticomlib_tpu.ops import ssfm
+
+    cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "EQUAL_ACCURACY.json")
+    h_match, cal = 5.0, None   # conservative default if uncalibrated
+    if os.path.exists(cal_path):
+        with open(cal_path) as f:
+            cal = json.load(f)
+        if cal.get("o4"):
+            h_match = float(cal["o4"]["h"])
+
+    rng = np.random.default_rng(42)
+    bits = rng.integers(0, 2, N_BITS)
+    A = (np.repeat(bits, SPS) * np.sqrt(PEAK_W)).astype(np.complex64)
+    w = 2 * np.pi * np.fft.fftfreq(N) * R * SPS
+    phi_w = jax.device_put(ssfm.dispersion_phase(w, CFG["beta_2"], 0.0))
+    a_km = ssfm.alpha_per_km(CFG["alpha"])
+    Are = jax.device_put(np.ascontiguousarray(A.real))
+    Aim = jax.device_put(np.ascontiguousarray(A.imag))
+    hs = jax.device_put(ssfm.ssfm_step_schedule(CFG["length"], h_match))
+
+    def run():
+        re, im = ssfm._ssfm_scan_o4(Are, Aim, phi_w, hs, CFG["gamma"],
+                                    a_km)
+        float(jax.numpy.sum(re[:8]))  # scalar readback = sync point
+
+    best = _time(run)
+    detail = {"scheme": "o4", "h_km": h_match, "fft_pairs": 3 * len(hs),
+              "wall_s": round(best, 3)}
+    if cal:
+        detail["matched_error"] = cal.get("o4", {}).get("error")
+        detail["reference_scheme_error"] = \
+            cal.get("reference_scheme", {}).get("error")
+        detail["calibration"] = cal.get("method")
+    return N / best, detail
+
+
 def bench_full_chain():
     """BASELINE config 2 through the public fused link (bits -> RX slots)."""
     import jax
@@ -313,11 +361,14 @@ def main():
         pass
 
     ssfm_sps, ssfm_detail = bench_ssfm_headline()
+    eqacc_sps, eqacc_detail = bench_ssfm_equal_accuracy()
     chain_sps, chain_detail = bench_full_chain()
     b2b_sps, b2b_detail = bench_b2b_chain()
 
     detail = {
         **ssfm_detail,
+        "equal_accuracy_samples_per_s": round(eqacc_sps, 1),
+        "equal_accuracy": eqacc_detail,
         "full_chain_samples_per_s": round(chain_sps, 1),
         "full_chain_wall_s": chain_detail["wall_s"],
         "b2b_chain_samples_per_s": round(b2b_sps, 1),
@@ -334,6 +385,8 @@ def main():
                                   **b2b_detail},
             "config2_ssfm_only": {"samples_per_s": round(ssfm_sps, 1),
                                   **ssfm_detail},
+            "config2_ssfm_equal_accuracy": {
+                "samples_per_s": round(eqacc_sps, 1), **eqacc_detail},
             "config2_full_chain": {"samples_per_s": round(chain_sps, 1),
                                    **chain_detail},
             "config2_full_dsp": {"samples_per_s": round(dsp_sps, 1),
@@ -376,6 +429,16 @@ def main():
             ref = json.load(f)
         if ref.get("samples_per_s"):
             vs = ssfm_sps / ref["samples_per_s"]
+        # denominator provenance (VERDICT round-3 #5): where the blessed
+        # CPU reference number came from and how noisy it was
+        detail["baseline_denominator"] = {
+            "samples_per_s": ref.get("samples_per_s"),
+            "measured_at": ref.get("measured_at"),
+            "reps": ref.get("reps"),
+            "interleaved": ref.get("interleaved"),
+            "spread": ref.get("configs", {}).get(
+                "config2_ssfm_only", {}).get("spread"),
+        }
 
     print(json.dumps({
         "metric": "ssfm_2e24_ook_throughput",

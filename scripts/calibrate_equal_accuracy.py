@@ -76,13 +76,18 @@ def main():
         w1 = jnp.float32(ssfm._W1)
         w0 = jnp.float32(ssfm._W0)
 
+        # same float32 stall guard as ops/ssfm.py: when the remaining
+        # distance drops below ulp(z), z + h == z and the loop would
+        # spin — clamp the step to a floor (bounded overshoot < 1e-7 L)
+        h_floor = length * jnp.float32(1.5e-7)
+
         def cond(c):
             _, z, k = c
             return jnp.logical_and(z < length, k < jnp.int32(2_000_000))
 
         def body(c):
             x, z, k = c
-            hh = jnp.minimum(h, length - z)
+            hh = jnp.maximum(jnp.minimum(h, length - z), h_floor)
             for wgt in (w1, w0, w1):
                 x = ssfm._strang_step(x, phi_w, alpha, hh * wgt, gamma)
             return x, z + hh, k + 1

@@ -98,21 +98,29 @@ def _build_ook_link(stages, n_bits=N_BITS, sps=SPS, P0=16.0):
 
 
 def bench_ssfm_equal_accuracy():
-    """Equal-ACCURACY headline (VERDICT round-3 #1): the same 2^24-sample
-    config-2 propagation with the 4th-order Yoshida scheme at the step
-    size calibrated to match the reference scheme's OUTPUT ERROR
-    (EQUAL_ACCURACY.json, produced by
-    scripts/calibrate_equal_accuracy.py: largest o4 step whose relative
-    L2 error vs an o4 h=0.05 truth run is <= the phi_max=0.01 reference
-    scheme's error).  Same accuracy, ~6x fewer FFT pairs -> the honest
-    competitive number vs the reference's only scheme."""
+    """Equal-ACCURACY headline (VERDICT round-3 #1), two comparisons at
+    calibrated settings from EQUAL_ACCURACY.json
+    (scripts/calibrate_equal_accuracy.py — relative L2 output error vs
+    an o4 h=0.05 truth run, same waveform):
+
+    1. *at the reference's default error* (phi_max=0.01 -> rel err
+       ~1.7e-2): the largest o4 step matching that error.  The reference
+       default is loose, so the 4th-order win here is modest (~1.3x
+       fewer fft+ifft pairs).
+    2. *at a tight 1e-3 target*: BOTH schemes tuned to 1e-3 — the
+       reference scheme's cost grows ~err^(-1/2) vs o4's ~err^(-1/4),
+       so this is where the algorithmic lever pays (several-x).
+
+    Returns (samples_per_s_at_default_error, detail) where detail also
+    carries the tight-target rows and speedup."""
     import jax
 
     from opticomlib_tpu.ops import ssfm
 
     cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "EQUAL_ACCURACY.json")
-    h_match, cal = 5.0, None   # conservative default if uncalibrated
+    cal = None
+    h_match = 2.0   # conservative default if uncalibrated
     if os.path.exists(cal_path):
         with open(cal_path) as f:
             cal = json.load(f)
@@ -127,21 +135,58 @@ def bench_ssfm_equal_accuracy():
     a_km = ssfm.alpha_per_km(CFG["alpha"])
     Are = jax.device_put(np.ascontiguousarray(A.real))
     Aim = jax.device_put(np.ascontiguousarray(A.imag))
-    hs = jax.device_put(ssfm.ssfm_step_schedule(CFG["length"], h_match))
+    maxP0 = float(np.max(A.real**2 + A.imag**2))
 
-    def run():
-        re, im = ssfm._ssfm_scan_o4(Are, Aim, phi_w, hs, CFG["gamma"],
-                                    a_km)
-        float(jax.numpy.sum(re[:8]))  # scalar readback = sync point
+    def time_o4(h):
+        hs = jax.device_put(ssfm.ssfm_step_schedule(CFG["length"], h))
 
-    best = _time(run)
-    detail = {"scheme": "o4", "h_km": h_match, "fft_pairs": 3 * len(hs),
+        def run():
+            re, im = ssfm._ssfm_scan_o4(Are, Aim, phi_w, hs,
+                                        CFG["gamma"], a_km)
+            float(jax.numpy.sum(re[:8]))  # scalar readback = sync
+
+        return _time(run), 3 * len(hs)
+
+    def time_ref(phi_max):
+        h0 = min(phi_max / (CFG["gamma"] * maxP0), CFG["length"])
+        steps_box = {}
+
+        def run():
+            re, im, steps = ssfm._ssfm_loop(
+                Are, Aim, phi_w, CFG["length"], CFG["gamma"], phi_max,
+                h0, a_km, adaptive=True)
+            steps_box["n"] = int(steps)
+
+        return _time(run), steps_box["n"]
+
+    best, pairs = time_o4(h_match)
+    detail = {"scheme": "o4", "h_km": h_match, "fft_pairs": pairs,
               "wall_s": round(best, 3)}
     if cal:
         detail["matched_error"] = cal.get("o4", {}).get("error")
         detail["reference_scheme_error"] = \
             cal.get("reference_scheme", {}).get("error")
         detail["calibration"] = cal.get("method")
+        tight = cal.get("tight") or {}
+        if tight.get("reference_scheme") and tight.get("o4"):
+            t_ref, ref_pairs = time_ref(
+                float(tight["reference_scheme"]["phi_max"]))
+            t_o4, o4_pairs = time_o4(float(tight["o4"]["h"]))
+            detail["tight_1e-3"] = {
+                "target_error": tight["target_error"],
+                "reference_scheme": {
+                    "phi_max": tight["reference_scheme"]["phi_max"],
+                    "error": tight["reference_scheme"]["error"],
+                    "fft_pairs": ref_pairs,
+                    "samples_per_s": round(N / t_ref, 1),
+                    "wall_s": round(t_ref, 3)},
+                "o4": {"h_km": tight["o4"]["h"],
+                       "error": tight["o4"]["error"],
+                       "fft_pairs": o4_pairs,
+                       "samples_per_s": round(N / t_o4, 1),
+                       "wall_s": round(t_o4, 3)},
+                "speedup_at_equal_accuracy": round(t_ref / t_o4, 2),
+            }
     return N / best, detail
 
 

@@ -132,6 +132,16 @@ def main():
     print(f"[calibrate] truth cross-check (o4 h=0.1): {truth_xcheck:.3g}",
           flush=True)
 
+    def run_ref_at(phi_max):
+        maxP0 = float(np.max(A.real ** 2 + A.imag ** 2))
+        h0 = min(phi_max / (CFG["gamma"] * maxP0), CFG["length"])
+        t0 = time.perf_counter()
+        re, im, steps = ssfm._ssfm_loop(Are, Aim, phi_w, CFG["length"],
+                                        CFG["gamma"], phi_max, h0, a_km,
+                                        adaptive=True)
+        out = np.asarray(re) + 1j * np.asarray(im)
+        return out, time.perf_counter() - t0, int(steps)
+
     ref_out, t_ref, ref_steps = run_ref()
     ref_error = rel_err(ref_out, truth)
     print(f"[calibrate] reference scheme (phi_max={PHI_MAX}): "
@@ -160,17 +170,45 @@ def main():
                         "wall_s": round(t, 3)}
             break
 
+    # ---- tight-accuracy comparison (1e-3 target): where the 4th-order
+    # scheme's advantage actually lives.  The reference scheme is 2nd
+    # order, so its cost grows ~err^(-1/2); o4's grows ~err^(-1/4). ----
+    TIGHT = 1e-3
+    tight_ref = None
+    for pm in (0.004, 0.002, 0.001, 0.0005, 0.00025):
+        out, t, steps = run_ref_at(pm)
+        e = rel_err(out, truth)
+        print(f"[calibrate] TIGHT ref phi_max={pm}: {steps} FFT-pairs, "
+              f"{t:.2f} s, rel err {e:.3g}", flush=True)
+        if e <= TIGHT:
+            tight_ref = {"phi_max": pm, "error": e, "fft_pairs": steps,
+                         "wall_s": round(t, 3)}
+            break
+    tight_o4 = None
+    for h in (1.25, 1.0, 0.8, 0.625, 0.5, 0.4, 0.3):
+        out, t, ffts = run_o4(h)
+        e = rel_err(out, truth)
+        print(f"[calibrate] TIGHT o4 h={h}: {ffts} FFT-pairs, {t:.2f} s, "
+              f"rel err {e:.3g}", flush=True)
+        if e <= TIGHT:
+            tight_o4 = {"h": h, "error": e, "fft_pairs": ffts,
+                        "wall_s": round(t, 3)}
+            break
+
     result = {
         "config": {**CFG, "phi_max": PHI_MAX, "sps": SPS, "R": R,
                    "peak_W": PEAK_W, "n_samples": n},
         "truth": {"scheme": "o4", "h": 0.05,
                   "cross_check_rel_err_vs_h0p1": truth_xcheck},
         "reference_scheme": {"phi_max": PHI_MAX, "n_steps": ref_steps,
-                             "fft_pairs": 2 * ref_steps,
+                             # one fft+ifft pair per step
+                             "fft_pairs": ref_steps,
                              "error": ref_error,
                              "wall_s": round(t_ref, 3)},
         "o4": o4_match,
         "local_error": le_match,
+        "tight": {"target_error": TIGHT, "reference_scheme": tight_ref,
+                  "o4": tight_o4},
         "method": "largest step/tol whose relative L2 output error vs an "
                   "o4 h=0.05 truth run is <= the reference scheme's "
                   "error at phi_max=0.01 (same waveform, same hardware)",

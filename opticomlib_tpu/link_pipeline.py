@@ -41,7 +41,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.constants import e, k as kB
 
-from .link import LinkProgram, LinkSpec, _ook_rx_ingraph
+from .link import (LinkProgram, LinkSpec, _ook_rx_ingraph,
+                   _ppm_hard_rx_ingraph)
 from .params import SimParams
 from .parallel.pipeline import pipeline_stages_core
 
@@ -80,8 +81,11 @@ class PipelinedLinkProgram:
         self.consts = self._tx.consts
         self._dsp_cache = {}
 
-    def _build_dsp(self, B: int, nslots: int, sps_resamp: Optional[int],
-                   seed: int):
+    def _build_prog(self, B: int, seed: int, rx_one):
+        """Compile TX -> pipelined channel -> per-channel ``rx_one(v_c,
+        slots_c, info_c, seed_c)`` into one jitted program.  ``rx_one``
+        receives the filtered PD voltage and slot samples (both
+        channel-local) and returns a tuple of per-channel scalars."""
         spec, params = self.spec, self.params
         sps, fs, n = params.sps, params.fs, self.n
         mesh, span_axis = self.mesh, self.span_axis
@@ -97,7 +101,7 @@ class PipelinedLinkProgram:
         instant = (spec.sampler_instant
                    if spec.sampler_instant is not None else sps // 2)
 
-        def prog(bits, seeds, consts):
+        def prog(bits, info, seeds, consts):
             # --- TX (channel-parallel, stages-less fused twin) ---
             def tx_one(b, s, consts):
                 out = self._tx.fn(b, s, consts)
@@ -114,8 +118,8 @@ class PipelinedLinkProgram:
             f = run(f)
             f = jax.lax.with_sharding_constraint(f, field_spec)
 
-            # --- RX (channel-local PD + LPF + fused OOK receiver) ---
-            def rx_one(f_c, bits_c, seed_c):
+            # --- RX front end (channel-local PD + LPF) + receiver ---
+            def rx_front(f_c, info_c, seed_c):
                 Pw = f_c.real ** 2 + f_c.imag ** 2
                 if Pw.ndim == 2:
                     Pw = Pw.sum(axis=0)
@@ -139,15 +143,23 @@ class PipelinedLinkProgram:
                 v = jnp.fft.ifft(
                     jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
                     * consts["H2_pd"]).real
-                slots = v[instant::sps]
-                m, rth, n_err = _ook_rx_ingraph(v, slots, bits_c, sps,
-                                                nslots, sps_resamp)
-                return (m["mu0"], m["mu1"], m["s0"], m["s1"], m["er"],
-                        m["eye_h"], rth, n_err)
+                return rx_one(v, v[instant::sps], info_c, seed_c)
 
-            return jax.vmap(rx_one, in_axes=(0, 0, 0))(f, bits, seeds)
+            return jax.vmap(rx_front, in_axes=(0, 0, 0))(f, info, seeds)
 
         return jax.jit(prog), ch_spec
+
+    def _build_dsp(self, B: int, nslots: int, sps_resamp: Optional[int],
+                   seed: int):
+        sps = self.params.sps
+
+        def rx_one(v, slots, bits_c, seed_c):
+            m, rth, n_err = _ook_rx_ingraph(v, slots, bits_c, sps,
+                                            nslots, sps_resamp)
+            return (m["mu0"], m["mu1"], m["s0"], m["s1"], m["er"],
+                    m["eye_h"], rth, n_err)
+
+        return self._build_prog(B, seed, rx_one)
 
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
                 prbs_order: int = 15, nslots: int = 8192,
@@ -185,9 +197,83 @@ class PipelinedLinkProgram:
             NamedSharding(self.mesh, P(self.span_axis)))
         mu0, mu1, s0, s1, er, eye_h, rth, n_err = (
             np.asarray(a) for a in jax.device_get(
-                prog(bits_d, seeds_d, self.consts)))
+                prog(bits_d, bits_d, seeds_d, self.consts)))
         n_err = n_err.astype(np.int64)
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err,
             threshold=rth, mu0=mu0, mu1=mu1, s0=s0, s1=s1, er=er,
             eye_h=eye_h, n_channels=n_channels, tx=bits.astype(np.uint8))
+
+    def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
+                    bits=None, seed: int = 0, prbs_order: int = 15,
+                    nslots: int = 8192, sps_resamp: Optional[int] = None):
+        """M-PPM WDM sweep with the channel stages pipelined: the PPM
+        twin of :meth:`dsp_wdm` (soft SDD argmax, or hard via eye
+        metrology + keyed HDD — :func:`opticomlib_tpu.link.
+        _ppm_hard_rx_ingraph`)."""
+        from .models.ppm import (PPM_ENCODER, positions_to_bits_jax,
+                                 sdd_positions_jax)
+
+        decision = decision.lower()
+        if decision not in ("soft", "hard"):
+            raise ValueError('`decision` must be "hard" or "soft"')
+        if n_channels < 1 or n_channels % self.S:
+            raise ValueError(
+                f"n_channels must be a positive multiple of the span "
+                f"count {self.S}, got {n_channels}")
+        if M & (M - 1) != 0 or M < 2:
+            raise ValueError("`M` must be a power of 2.")
+        if self.n_bits % M != 0:
+            raise ValueError(
+                f"link carries {self.n_bits} slots, not a multiple of "
+                f"M={M}")
+        k = int(math.log2(M))
+        n_sym = self.n_bits // M
+        if bits is None:
+            from .ops.prbs import prbs as _prbs
+            b, _ = _prbs(prbs_order, length=n_channels * n_sym * k)
+            bits = np.asarray(b.data, np.uint8).reshape(n_channels,
+                                                        n_sym * k)
+        bits = np.asarray(bits)
+        if bits.shape != (n_channels, n_sym * k):
+            raise ValueError(
+                f"bits must have shape {(n_channels, n_sym * k)}, got "
+                f"{bits.shape}")
+        slots_tx = np.stack([
+            np.asarray(PPM_ENCODER(bits[c], M).data, np.float32)
+            for c in range(n_channels)])
+
+        key = ("ppm", n_channels, M, decision, nslots, sps_resamp, seed)
+        if key not in self._dsp_cache:
+            sps = self.params.sps
+
+            def rx_one(v, slots, info_c, seed_c):
+                if decision == "soft":
+                    pos = sdd_positions_jax(slots, M)
+                    rb = positions_to_bits_jax(pos, M)
+                    n_err = jnp.sum(rb != info_c.astype(jnp.uint8))
+                    return jnp.full((), jnp.nan, jnp.float32), n_err
+                _, rth, n_err = _ppm_hard_rx_ingraph(
+                    v, slots, info_c, M, sps, nslots, sps_resamp, seed_c)
+                return rth, n_err
+
+            self._dsp_cache[key] = self._build_prog(n_channels, seed,
+                                                    rx_one)
+        prog, ch_spec = self._dsp_cache[key]
+
+        seeds = np.arange(n_channels, dtype=np.uint32) + np.uint32(seed)
+        slots_d = jax.device_put(jnp.asarray(slots_tx), ch_spec)
+        info_d = jax.device_put(
+            jnp.asarray(bits.astype(np.float32)), ch_spec)
+        seeds_d = jax.device_put(
+            jnp.asarray(seeds),
+            NamedSharding(self.mesh, P(self.span_axis)))
+        rth, n_err = jax.device_get(prog(slots_d, info_d, seeds_d,
+                                         self.consts))
+        n_err = np.asarray(n_err).astype(np.int64)
+        rth = np.asarray(rth, np.float64)
+        return SimpleNamespace(
+            ber=n_err / (n_sym * k), n_errors=n_err, M=M,
+            decision=decision, n_channels=n_channels,
+            threshold=(None if np.isnan(rth).all() else rth),
+            tx=bits.astype(np.uint8))

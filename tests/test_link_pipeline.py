@@ -88,3 +88,28 @@ def test_pipelined_validation(params, span_mesh):
     with pytest.raises(NotImplementedError, match="adc"):
         build_link(_spec(adc_bits=8), N_BITS, params=params,
                    span_mesh=span_mesh)
+
+
+def test_pipelined_ppm_soft_and_hard(params, span_mesh):
+    """PPM receivers on the pipelined link: soft and hard both decode a
+    clean chain and match the sequential fused program."""
+    M, n_sym = 8, 64
+    spec = _spec((RepeatSpec(8, (FiberSpec(length=10, alpha=0.2,
+                                           beta_2=-21.0, gamma=1.3,
+                                           h=1.0),
+                                 EDFASpec(G=2.0))),))
+    pr_pipe = build_link(spec, n_sym * M, params=params,
+                         span_mesh=span_mesh)
+    pr_seq = build_link(spec, n_sym * M, params=params)
+    for decision in ("soft", "hard"):
+        sw = pr_pipe.dsp_wdm_ppm(8, M=M, decision=decision, seed=0,
+                                 nslots=n_sym * M)
+        assert sw.ber.shape == (8,)
+        assert (sw.ber == 0).all(), decision
+        sw0 = pr_seq.dsp_wdm_ppm(8, M=M, decision=decision, bits=sw.tx,
+                                 seed=0, nslots=n_sym * M)
+        np.testing.assert_array_equal(sw0.ber, sw.ber)
+        if decision == "hard":
+            assert sw.threshold is not None
+            np.testing.assert_allclose(sw.threshold, sw0.threshold,
+                                       rtol=1e-3, atol=1e-6)

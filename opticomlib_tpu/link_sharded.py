@@ -270,7 +270,7 @@ class ShardedLinkProgram:
                 return _pmax_t(m)        # (lc,)
 
             h_floor = length_f * jnp.float32(1.5e-7)
-            max_steps = jnp.int32(4_000_000)
+            max_steps = jnp.int32(400_000)
 
             def bcast(v):
                 """(lc,) -> broadcastable over A's trailing axes."""

@@ -197,7 +197,11 @@ def ssfm_while_inside(A, phi_w, length, gamma, phi_max, h0, alpha,
     # steps to >~ length*2^-23; the bounded overshoot (<1e-7 of the span) is
     # physically negligible and the loop is guaranteed to terminate.
     h_floor = length * jnp.float32(1.5e-7)
-    max_steps = jnp.int32(4_000_000)  # runaway backstop
+    max_steps = jnp.int32(400_000)  # runaway backstop: far above any real
+    # config (~1e4 steps at extreme power), but small enough that a bug
+    # that stalls z-advance releases the accelerator in minutes, not
+    # hours (a killed client does NOT cancel an in-flight program on
+    # remote runtimes)
 
     def cond(carry):
         _, z, _, steps = carry
@@ -399,7 +403,7 @@ def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
     grow = jnp.float32(2.0 ** (1.0 / 3.0))
 
     h_floor = length * jnp.float32(1.5e-7)
-    max_steps = jnp.int32(4_000_000)
+    max_steps = jnp.int32(400_000)
 
     def cond(carry):
         _, z, _, steps = carry

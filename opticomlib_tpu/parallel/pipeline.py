@@ -364,7 +364,7 @@ def _segment_ssfm(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
         (beta_3 * jnp.float32(1.0 / 6.0)) * w3
     tiny = jnp.float32(1e-30)
     h_floor = jnp.maximum(length, jnp.float32(1.0)) * jnp.float32(1.5e-7)
-    max_steps = jnp.int32(4_000_000)
+    max_steps = jnp.int32(400_000)
 
     def cond(c):
         _, z, steps = c

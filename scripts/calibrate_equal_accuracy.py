@@ -83,7 +83,7 @@ def main():
 
         def cond(c):
             _, z, k = c
-            return jnp.logical_and(z < length, k < jnp.int32(2_000_000))
+            return jnp.logical_and(z < length, k < jnp.int32(400_000))
 
         def body(c):
             x, z, k = c

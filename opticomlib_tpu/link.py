@@ -146,7 +146,14 @@ def _ppm_hard_rx_ingraph(v, slot_samp, info_bits_f32, M, sps, nslots,
 @dataclass(frozen=True)
 class FiberSpec:
     """One fiber span (same physics as :func:`opticomlib_tpu.devices.FIBER`,
-    reference devices.py:1038-1206)."""
+    reference devices.py:1038-1206).
+
+    ``method="o4"`` selects the 4th-order Yoshida composition for this
+    span (requires a fixed ``h``) — the equal-accuracy lever: ~4x fewer
+    FFT pairs than the reference scheme at matched output error
+    (docs/performance.md "Equal-accuracy headline").  The default
+    ``"reference"`` is the reference's 2nd-order frozen-operator scheme.
+    """
     length: float                 # [km]
     alpha: float = 0.0            # [dB/km]
     beta_2: float = 0.0           # [ps^2/km]
@@ -154,6 +161,7 @@ class FiberSpec:
     gamma: float = 0.0            # [1/W/km]
     phi_max: float = 0.01         # adaptive max NL phase [rad]
     h: Optional[float] = None     # fixed step [km]; None -> adaptive
+    method: str = "reference"     # 'reference' | 'o4'
 
     def __post_init__(self):
         if self.length <= 0:
@@ -162,6 +170,14 @@ class FiberSpec:
             raise ValueError("FiberSpec.phi_max must be > 0")
         if self.h is not None and self.h <= 0:
             raise ValueError("FiberSpec.h must be > 0 km (or None)")
+        if self.method not in ("reference", "o4"):
+            raise ValueError(
+                "FiberSpec.method must be 'reference' or 'o4'")
+        if self.method == "o4" and self.h is None:
+            raise ValueError(
+                "FiberSpec(method='o4') needs a fixed step h (the "
+                "Yoshida composition is a fixed-step scheme; pick h "
+                "from scripts/calibrate_equal_accuracy.py)")
 
 
 @dataclass(frozen=True)
@@ -355,6 +371,7 @@ def _stage_plan(stages, f0: float, fs: float, *, fiber_extra, dm_const,
                   "hs": (None if st.h is None else
                          wrap_hs(ssfm.ssfm_step_schedule(st.length,
                                                          st.h))),
+                  "method": st.method,
                   "linear_only": (st.gamma == 0
                                   or (st.beta_2 == 0 and st.beta_3 == 0))}
             if isinstance(st, DBPSpec) and st.undo_gain_dB:
@@ -582,6 +599,9 @@ class LinkProgram:
                     hs1 = jnp.asarray([st.length], dtype=jnp.float32)
                     return ssfm.ssfm_scan_inside(f, phi_w, hs1, g_nl, a_lin)
                 if cc["hs"] is not None:
+                    if cc["method"] == "o4":
+                        return ssfm.ssfm_o4_scan_inside(
+                            f, phi_w, cc["hs"], g_nl, a_lin)
                     return ssfm.ssfm_scan_inside(f, phi_w, cc["hs"], g_nl,
                                                  a_lin)
                 maxP0 = jnp.max(f.real**2 + f.imag**2)

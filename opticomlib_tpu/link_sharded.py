@@ -376,6 +376,12 @@ class ShardedLinkProgram:
                 if cc["linear_only"] and cc["hs"] is None:
                     return _fiber_fixed(f, phi_q, [st.length], g_nl, a_lin)
                 if cc["hs"] is not None:
+                    if cc["method"] == "o4":
+                        # Yoshida composition with the pencil-FFT
+                        # spectral multiply as the linear substep
+                        return ssfm.ssfm_o4_scan_inside(
+                            f, phi_q, jnp.asarray(cc["hs"]), g_nl, a_lin,
+                            spectral=lambda A, E: _spectral(A, E))
                     return _fiber_fixed(f, phi_q, cc["hs"], g_nl, a_lin)
                 return _fiber_adaptive(f, phi_q, st.length, g_nl, a_lin,
                                        st.phi_max)

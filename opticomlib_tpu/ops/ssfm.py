@@ -42,7 +42,7 @@ __all__ = ["linear_operator", "dispersion_phase", "ssfm_propagate",
            "adaptive_h0",
            "ssfm_step_schedule", "dispersive_step", "ssfm_scan_o4",
            "ssfm_local_error", "progress_bar", "ssfm_while_inside",
-           "ssfm_scan_inside"]
+           "ssfm_scan_inside", "ssfm_o4_scan_inside"]
 
 _LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
 
@@ -338,26 +338,48 @@ _W1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
 _W0 = 1.0 - 2.0 * _W1
 
 
-@jax.jit
-def _ssfm_scan_o4(Are, Aim, phi_w, hs, gamma, alpha):
-    A = jax.lax.complex(Are, Aim)
+def ssfm_o4_scan_inside(A, phi_w, hs, gamma, alpha, spectral=None):
+    """Fixed-schedule 4th-order (Yoshida) SSFM scan body — complex
+    in/out, for use *inside* an enclosing jit (the fused link programs).
+    ``spectral``: optional ``(A, E) -> A`` override for the spectral
+    multiply (the sharded link plugs in the pencil-FFT transform);
+    default is the local single-FFT ``ifft(fft(A) * E)``."""
     alpha = jnp.float32(alpha)
     gamma = jnp.float32(gamma)
+    hs = jnp.asarray(hs)
     h0 = hs[0]
     E1_0 = _lin_factor(phi_w, alpha, h0 * jnp.float32(_W1))
     E0_0 = _lin_factor(phi_w, alpha, h0 * jnp.float32(_W0))
+
+    if spectral is None:
+        def spectral(A, E):
+            return jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * E, axis=-1)
+
+    def strang(A, h, E):
+        phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+        A = A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+        A = spectral(A, E)
+        phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
+        return A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
 
     def step(A, h):
         E1 = jax.lax.cond(h == h0, lambda: E1_0, lambda: _lin_factor(
             phi_w, alpha, h * jnp.float32(_W1)))
         E0 = jax.lax.cond(h == h0, lambda: E0_0, lambda: _lin_factor(
             phi_w, alpha, h * jnp.float32(_W0)))
-        A = _strang_step(A, phi_w, alpha, h * jnp.float32(_W1), gamma, E=E1)
-        A = _strang_step(A, phi_w, alpha, h * jnp.float32(_W0), gamma, E=E0)
-        A = _strang_step(A, phi_w, alpha, h * jnp.float32(_W1), gamma, E=E1)
+        A = strang(A, h * jnp.float32(_W1), E1)
+        A = strang(A, h * jnp.float32(_W0), E0)
+        A = strang(A, h * jnp.float32(_W1), E1)
         return A, None
 
     A, _ = jax.lax.scan(step, A, hs)
+    return A
+
+
+@jax.jit
+def _ssfm_scan_o4(Are, Aim, phi_w, hs, gamma, alpha):
+    A = ssfm_o4_scan_inside(jax.lax.complex(Are, Aim), phi_w, hs,
+                            gamma, alpha)
     return A.real, A.imag
 
 

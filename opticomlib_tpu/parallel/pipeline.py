@@ -295,10 +295,11 @@ def _stage_segments(stages, fs, f0):
     flat = _flatten_stage_specs(stages)
     cols = {k: [] for k in ("pre", "length", "h", "phi_max", "alpha",
                             "beta_2", "beta_3", "gamma", "gain",
-                            "sigma_ase")}
+                            "sigma_ase", "o4")}
 
     def push(pre=1.0, length=0.0, h=0.0, phi_max=0.05, alpha=0.0,
-             beta_2=0.0, beta_3=0.0, gamma=0.0, gain=1.0, sigma_ase=0.0):
+             beta_2=0.0, beta_3=0.0, gamma=0.0, gain=1.0, sigma_ase=0.0,
+             o4=0.0):
         for k, v in locals().items():
             if k in cols:
                 cols[k].append(float(v))
@@ -326,7 +327,8 @@ def _stage_segments(stages, fs, f0):
                  h=(0.0 if st.h is None else st.h), phi_max=st.phi_max,
                  alpha=sgn * alpha_per_km(st.alpha),
                  beta_2=sgn * st.beta_2, beta_3=sgn * st.beta_3,
-                 gamma=sgn * st.gamma, gain=gain, sigma_ase=sig)
+                 gamma=sgn * st.gamma, gain=gain, sigma_ase=sig,
+                 o4=(1.0 if st.method == "o4" else 0.0))
         elif isinstance(st, EDFASpec):
             if st.BW is not None:
                 raise NotImplementedError(
@@ -386,6 +388,36 @@ def _segment_ssfm(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
             jnp.float32(-0.5) * alpha * h)
         x = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * E, axis=-1)
         return x * half_nl, z + h, steps + 1
+
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (x, jnp.float32(0.0), jnp.int32(0)))
+    return x
+
+
+def _segment_ssfm_o4(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
+                     h_fixed):
+    """4th-order (Yoshida) fixed-step variant of :func:`_segment_ssfm`
+    (``FiberSpec(method='o4')`` segments; h is always > 0 — validated
+    at spec construction)."""
+    from ..ops.ssfm import _W0, _W1, _strang_step
+
+    phi_w = (beta_2 * jnp.float32(0.5)) * w2 + \
+        (beta_3 * jnp.float32(1.0 / 6.0)) * w3
+    h_floor = jnp.maximum(length, jnp.float32(1.0)) * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(400_000)
+    w1 = jnp.float32(_W1)
+    w0 = jnp.float32(_W0)
+
+    def cond(c):
+        _, z, steps = c
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(c):
+        x, z, steps = c
+        h = jnp.maximum(jnp.minimum(h_fixed, length - z), h_floor)
+        for wgt in (w1, w0, w1):
+            x = _strang_step(x, phi_w, alpha, h * wgt, gamma)
+        return x, z + h, steps + 1
 
     x, _, _ = jax.lax.while_loop(
         cond, body, (x, jnp.float32(0.0), jnp.int32(0)))
@@ -480,10 +512,17 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
         def seg(j, x):
             s = d * K + j
             x = x * pvec["pre"][s]
-            x = _segment_ssfm(x, w2, w3, pvec["length"][s],
-                              pvec["alpha"][s], pvec["beta_2"][s],
-                              pvec["beta_3"][s], pvec["gamma"][s],
-                              pvec["h"][s], pvec["phi_max"][s])
+            x = jax.lax.cond(
+                pvec["o4"][s] > 0,
+                lambda x: _segment_ssfm_o4(
+                    x, w2, w3, pvec["length"][s], pvec["alpha"][s],
+                    pvec["beta_2"][s], pvec["beta_3"][s],
+                    pvec["gamma"][s], pvec["h"][s]),
+                lambda x: _segment_ssfm(
+                    x, w2, w3, pvec["length"][s], pvec["alpha"][s],
+                    pvec["beta_2"][s], pvec["beta_3"][s],
+                    pvec["gamma"][s], pvec["h"][s], pvec["phi_max"][s]),
+                x)
             x = x * pvec["gain"][s]
             if any_ase:
                 k_ms = jax.random.fold_in(

@@ -197,3 +197,117 @@ def test_ac_coupling_tolerates_whitespace():
     prog_dc = build_link(spec_dc, n_bits=N_BITS, params=_params())
     v_dc = prog_dc.jitted(bits, jnp.uint32(0))[0]
     assert abs(float(jnp.mean(v)) ) < abs(float(jnp.mean(v_dc)))
+
+
+class TestFiberSpecO4:
+    """Round-4: FiberSpec(method='o4') — the equal-accuracy 4th-order
+    scheme reachable from the fused/sharded/pipelined link vocabulary."""
+
+    def _progs(self, method="o4", h=2.5, mesh=None, span_mesh=None):
+        from opticomlib_tpu.link import FiberSpec, LinkSpec, build_link
+        from opticomlib_tpu.params import SimParams
+
+        R = 10e9
+        params = SimParams.create(sps=16, R=R, _warn=False)
+        spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                        pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                        pd_BW=0.75 * R, include_thermal=False,
+                        include_shot=False,
+                        stages=(FiberSpec(length=50, alpha=0.2,
+                                          beta_2=-21.0, gamma=1.3, h=h,
+                                          method=method),))
+        return build_link(spec, 512, params=params, mesh=mesh,
+                          span_mesh=span_mesh, return_field=True), params
+
+    def test_fused_o4_matches_staged_scheme(self):
+        """Fused FiberSpec(method='o4') == the staged ssfm_scan_o4 on
+        the same modulated field."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from opticomlib_tpu.link import FiberSpec, LinkSpec, build_link
+        from opticomlib_tpu.ops import ssfm
+        from opticomlib_tpu.params import SimParams
+
+        prog_o4, params = self._progs()
+        # b2b twin gives the modulated input field
+        R = 10e9
+        spec_b2b = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                            pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                            pd_BW=0.75 * R, include_thermal=False,
+                            include_shot=False)
+        prog_b2b = build_link(spec_b2b, 512, params=params,
+                              return_field=True)
+        rng = np.random.default_rng(1)
+        bits = rng.integers(0, 2, 512).astype(np.float32)
+        o0 = prog_b2b.jitted(jnp.asarray(bits), jnp.uint32(0))
+        f_in = np.asarray(o0[2]) + 1j * np.asarray(o0[3])
+        o1 = prog_o4.jitted(jnp.asarray(bits), jnp.uint32(0))
+        f_o4 = np.asarray(o1[2]) + 1j * np.asarray(o1[3])
+
+        w = 2 * np.pi * np.fft.fftfreq(f_in.size) * params.fs
+        expect = ssfm.ssfm_scan_o4(f_in, w, 50.0, alpha=0.2,
+                                   beta_2=-21.0, gamma=1.3, h=2.5)
+        scale = np.max(np.abs(expect))
+        assert np.max(np.abs(f_o4 - expect)) < 2e-5 * scale
+
+    def test_o4_more_accurate_than_reference_at_equal_h(self):
+        """At the same (coarse) fixed h, the o4 span's output is closer
+        to a fine-step truth than the reference scheme's."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        bits = rng.integers(0, 2, 512).astype(np.float32)
+
+        def field(method, h):
+            prog, _ = self._progs(method=method, h=h)
+            o = prog.jitted(jnp.asarray(bits), jnp.uint32(0))
+            return np.asarray(o[2]) + 1j * np.asarray(o[3])
+
+        truth = field("o4", 0.25)
+        err_ref = np.linalg.norm(field("reference", 5.0) - truth)
+        err_o4 = np.linalg.norm(field("o4", 5.0) - truth)
+        assert err_o4 < 0.25 * err_ref, (err_o4, err_ref)
+
+    def test_sharded_o4_matches_unsharded(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(3)
+        bits = rng.integers(0, 2, 512).astype(np.float32)
+        prog0, _ = self._progs()
+        v0 = np.asarray(prog0.jitted(jnp.asarray(bits),
+                                     jnp.uint32(0))[0])
+        mesh = Mesh(np.array(jax.devices()), ("time",))
+        prog1, _ = self._progs(mesh=mesh)
+        v1 = np.asarray(prog1.jitted(bits, np.uint32([0]))[0])[0]
+        scale = np.max(np.abs(v0))
+        assert np.max(np.abs(v1 - v0)) < 2e-5 * scale
+
+    def test_pipelined_o4_matches_unsharded(self):
+        import numpy as np
+
+        from opticomlib_tpu.parallel.pipeline import make_span_mesh
+
+        rng = np.random.default_rng(4)
+        bits = rng.integers(0, 2, (2, 512)).astype(np.uint8)
+        prog0, _ = self._progs()
+        sw0 = prog0.dsp_wdm(2, bits=bits, seed=0, nslots=512)
+        prog1, _ = self._progs(span_mesh=make_span_mesh(1))
+        sw1 = prog1.dsp_wdm(2, bits=bits, seed=0, nslots=512)
+        np.testing.assert_array_equal(sw0.ber, sw1.ber)
+        np.testing.assert_allclose(sw1.threshold, sw0.threshold,
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_o4_requires_fixed_h(self):
+        import pytest
+
+        from opticomlib_tpu.link import FiberSpec
+
+        with pytest.raises(ValueError, match="o4"):
+            FiberSpec(length=50, gamma=1.3, beta_2=-21.0, method="o4")
+        with pytest.raises(ValueError, match="method"):
+            FiberSpec(length=50, h=1.0, method="rk4")

@@ -333,6 +333,73 @@ def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
                   "wall_s": round(best, 3)}
 
 
+def bench_dbp_o4(n_spans=20, span_km=80.0, n=2**20, sps=16):
+    """Config 4 at EQUAL ROUND-TRIP ERROR with the o4 scheme: the same
+    20x80 km + per-span-DBP chain, each span a fixed-step Yoshida
+    composition at the h calibrated so the round-trip residual is <= the
+    parity (phi_max=0.05 adaptive) run's (scripts/calibrate_dbp_o4.py
+    -> EQUAL_ACCURACY.json["config4"]).  Returns None if uncalibrated."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from opticomlib_tpu.ops import ssfm
+
+    cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "EQUAL_ACCURACY.json")
+    if not os.path.exists(cal_path):
+        return None
+    with open(cal_path) as f:
+        cal = json.load(f).get("config4") or {}
+    if not cal.get("o4"):
+        return None
+    h = float(cal["o4"]["h"])
+
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, n // sps)
+    A = (np.repeat(bits, sps) * np.sqrt(0.005)).astype(np.complex64)
+    w = 2 * np.pi * np.fft.fftfreq(n) * R * sps
+    phi_w = jax.device_put(ssfm.dispersion_phase(w, -21.0, 0.0))
+    a_km = ssfm.alpha_per_km(0.2)
+    Are = jax.device_put(np.ascontiguousarray(A.real))
+    Aim = jax.device_put(np.ascontiguousarray(A.imag))
+    g = 1.3
+    gain = np.float32(10 ** (0.2 * span_km / 20))
+    hs = jnp.asarray(ssfm.ssfm_step_schedule(span_km, h))
+
+    @partial(jax.jit, static_argnames=())
+    def prog(re, im, phi_w):
+        def span(A, _, sgn):
+            if sgn < 0:
+                A = A / gain
+            A = ssfm.ssfm_o4_scan_inside(A, sgn * phi_w, hs, sgn * g,
+                                         sgn * a_km)
+            if sgn > 0:
+                A = A * gain
+            return A, None
+
+        A0 = jax.lax.complex(re, im)
+        A1, _ = jax.lax.scan(partial(span, sgn=1.0), A0, None,
+                             length=n_spans)
+        A2, _ = jax.lax.scan(partial(span, sgn=-1.0), A1, None,
+                             length=n_spans)
+        return A2.real, A2.imag
+
+    def run():
+        re, im = prog(Are, Aim, phi_w)
+        float(jnp.sum(re[:8]))  # scalar readback = sync
+
+    best = _time(run, reps=2)
+    pairs = 3 * len(hs) * 2 * n_spans
+    return n / best, {
+        "n_samples": n, "scheme": "o4", "h_km": h,
+        "fft_pairs": pairs, "wall_s": round(best, 3),
+        "rt_error": cal["o4"]["rt_error"],
+        "parity_rt_error": cal["parity"]["rt_error"],
+        "parity_fft_pairs": cal["parity"]["fft_pairs"],
+        "metric_note": cal.get("metric")}
+
+
 def bench_wdm_batch(n_ch=16, n_bits=2**18, sps=16):
     """BASELINE config 5, single-chip, through the PUBLIC API:
     ``LinkProgram.dsp_wdm`` runs 16 receiver-complete chains (bits ->
@@ -424,6 +491,7 @@ def main():
     if run_all:
         ppm_sps, ppm_d = bench_ppm()
         dbp_sps, dbp_d = bench_dbp()
+        dbp_o4 = bench_dbp_o4()
         wdm_sps, wdm_d = bench_wdm_batch()
         shard_sps, shard_d = bench_wdm_shard()
         dsp_sps, dsp_d = bench_fused_dsp()
@@ -442,6 +510,10 @@ def main():
                                    **ppm_d},
             "config4_dbp_20x80": {"samples_per_s": round(dbp_sps, 1),
                                   **dbp_d},
+            **({"config4_dbp_o4_equal_error": {
+                "samples_per_s": round(dbp_o4[0], 1), **dbp_o4[1],
+                "speedup_vs_parity": round(dbp_o4[0] / dbp_sps, 2)}}
+               if dbp_o4 else {}),
             "config5_wdm16_per_chip": {"samples_per_s": round(wdm_sps, 1),
                                        **wdm_d},
             "config5_shard_1x2e26": {"samples_per_s": round(shard_sps, 1),

@@ -1,0 +1,169 @@
+"""Equal-accuracy calibration for BASELINE config 4 (20x80 km + DBP).
+
+Config 4's natural accuracy metric is the **round-trip error**: per-span
+DBP is supposed to invert the amplified link, and the residual
+``||out - in|| / ||in||`` is splitting error of the scheme (the
+reference's own test oracle, reference tests/devices_test.py:271-277;
+the error cancels partially between matched forward/backward passes, so
+this measures DBP-inverts-the-solver fidelity — the quantity the config
+exists to exercise — not absolute NLSE error).
+
+This script measures the parity scheme's round-trip error (the bench's
+phi_max=0.05 adaptive config) and finds the largest o4 step whose error
+is at least as good, then merges a ``config4`` entry into
+EQUAL_ACCURACY.json for bench.py's ``config4_dbp_o4`` row.
+
+Both programs keep ``h`` traced so ONE compile serves the whole grid.
+
+Usage: python scripts/calibrate_dbp_o4.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N = 2**20
+SPS = 16
+R = 10e9
+N_SPANS = 20
+SPAN_KM = 80.0
+ALPHA, BETA2, GAMMA = 0.2, -21.0, 1.3
+PHI_MAX = 0.05
+PEAK_W = 0.005
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import opticomlib_tpu  # noqa: F401  (enables the compile cache)
+    from opticomlib_tpu.ops import ssfm
+
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, N // SPS)
+    A = (np.repeat(bits, SPS) * np.sqrt(PEAK_W)).astype(np.complex64)
+    w = 2 * np.pi * np.fft.fftfreq(N) * R * SPS
+    phi_w = jax.device_put(ssfm.dispersion_phase(w, BETA2, 0.0))
+    a_km = ssfm.alpha_per_km(ALPHA)
+    Are = jax.device_put(np.ascontiguousarray(A.real))
+    Aim = jax.device_put(np.ascontiguousarray(A.imag))
+    gain = np.float32(10 ** (ALPHA * SPAN_KM / 20))
+
+    from functools import partial
+
+    @jax.jit
+    def rt_parity(re, im, phi_w):
+        """Forward 20 spans (adaptive parity scheme) + 20 DBP spans."""
+        def span(carry, _, sgn):
+            A, nst = carry
+            if sgn < 0:
+                A = A / gain
+            maxP0 = jnp.max(A.real**2 + A.imag**2)
+            h0 = jnp.minimum(jnp.float32(PHI_MAX) / (GAMMA * maxP0),
+                             jnp.float32(SPAN_KM))
+            A, s = ssfm.ssfm_while_inside(
+                A, sgn * phi_w, SPAN_KM, sgn * GAMMA, PHI_MAX, h0,
+                sgn * a_km, adaptive=True)
+            if sgn > 0:
+                A = A * gain
+            return (A, nst + s), None
+
+        A0 = jax.lax.complex(re, im)
+        (A1, nst), _ = jax.lax.scan(partial(span, sgn=1.0),
+                                    (A0, jnp.int32(0)), None,
+                                    length=N_SPANS)
+        (A2, nst), _ = jax.lax.scan(partial(span, sgn=-1.0),
+                                    (A1, nst), None, length=N_SPANS)
+        return A2.real, A2.imag, nst
+
+    @jax.jit
+    def rt_o4(re, im, phi_w, h):
+        """Same chain with fixed-step o4 spans (h traced: one compile
+        for the whole grid).  fft+ifft pairs = 3 * steps."""
+        w1 = jnp.float32(ssfm._W1)
+        w0 = jnp.float32(ssfm._W0)
+        L = jnp.float32(SPAN_KM)
+        h_floor = L * jnp.float32(1.5e-7)
+
+        def o4_span(A, sgn):
+            pw = sgn * phi_w
+            g = jnp.float32(sgn * GAMMA)
+            al = jnp.float32(sgn * a_km)
+
+            def cond(c):
+                return jnp.logical_and(c[1] < L,
+                                       c[2] < jnp.int32(400_000))
+
+            def body(c):
+                x, z, k = c
+                hh = jnp.maximum(jnp.minimum(h, L - z), h_floor)
+                for wgt in (w1, w0, w1):
+                    x = ssfm._strang_step(x, pw, al, hh * wgt, g)
+                return x, z + hh, k + 1
+
+            A, _, k = jax.lax.while_loop(
+                cond, body, (A, jnp.float32(0.0), jnp.int32(0)))
+            return A, k
+
+        def span(carry, _, sgn):
+            A, nst = carry
+            if sgn < 0:
+                A = A / gain
+            A, k = o4_span(A, sgn)
+            if sgn > 0:
+                A = A * gain
+            return (A, nst + k), None
+
+        A0 = jax.lax.complex(re, im)
+        (A1, nst), _ = jax.lax.scan(partial(span, sgn=1.0),
+                                    (A0, jnp.int32(0)), None,
+                                    length=N_SPANS)
+        (A2, nst), _ = jax.lax.scan(partial(span, sgn=-1.0),
+                                    (A1, nst), None, length=N_SPANS)
+        return A2.real, A2.imag, nst
+
+    def rel_rt_err(re, im):
+        out = np.asarray(re) + 1j * np.asarray(im)
+        return float(np.linalg.norm(out - A) / np.linalg.norm(A))
+
+    t0 = time.perf_counter()
+    re, im, nst = rt_parity(Are, Aim, phi_w)
+    e_par = rel_rt_err(re, im)
+    n_par = int(nst)
+    print(f"[dbp-cal] parity (phi_max={PHI_MAX}): {n_par} steps "
+          f"({n_par} fft-pairs), rt err {e_par:.4g}, "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+
+    match = None
+    for h in (20.0, 16.0, 10.0, 8.0, 5.0, 4.0, 2.5, 2.0, 1.0):
+        t0 = time.perf_counter()
+        re, im, nst = rt_o4(Are, Aim, phi_w, jnp.float32(h))
+        e = rel_rt_err(re, im)
+        pairs = 3 * int(nst)
+        print(f"[dbp-cal] o4 h={h}: {pairs} fft-pairs, rt err {e:.4g}, "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
+        if e <= e_par:
+            match = {"h": h, "rt_error": e, "fft_pairs": pairs}
+            break
+
+    path = os.path.join(ROOT, "EQUAL_ACCURACY.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["config4"] = {
+        "metric": "round-trip relative L2 error (DBP inverts the link; "
+                  "reference oracle devices_test.py:271-277)",
+        "parity": {"phi_max": PHI_MAX, "rt_error": e_par,
+                   "fft_pairs": n_par},
+        "o4": match,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"[dbp-cal] wrote config4 entry -> {path}")
+
+
+if __name__ == "__main__":
+    main()

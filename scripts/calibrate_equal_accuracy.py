@@ -219,6 +219,12 @@ def main():
                   "error at phi_max=0.01 (same waveform, same hardware)",
     }
     path = os.path.join(ROOT, "EQUAL_ACCURACY.json")
+    if os.path.exists(path):
+        # preserve entries owned by other calibrators (e.g. "config4"
+        # from scripts/calibrate_dbp_o4.py)
+        old = json.load(open(path))
+        old.update(result)
+        result = old
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"[calibrate] wrote {path}")

@@ -149,9 +149,14 @@ class FiberSpec:
     reference devices.py:1038-1206).
 
     ``method="o4"`` selects the 4th-order Yoshida composition for this
-    span (requires a fixed ``h``) — the equal-accuracy lever: ~4x fewer
-    FFT pairs than the reference scheme at matched output error
-    (docs/performance.md "Equal-accuracy headline").  The default
+    span — the equal-accuracy lever: ~4x fewer FFT pairs than the
+    reference scheme at matched output error (docs/performance.md
+    "Equal-accuracy headline").  With a fixed ``h`` it runs the fixed-
+    schedule scan; with ``h=None`` it **self-tunes** via step-doubling
+    local-error control targeting relative local error ``tol`` per step
+    (no calibration script needed; ops/ssfm.ssfm_o4_auto_inside).
+    ``method="local_error"`` is the Sinkin adaptive 2nd-order scheme
+    with Richardson extrapolation (same ``tol`` semantics).  The default
     ``"reference"`` is the reference's 2nd-order frozen-operator scheme.
     """
     length: float                 # [km]
@@ -161,7 +166,9 @@ class FiberSpec:
     gamma: float = 0.0            # [1/W/km]
     phi_max: float = 0.01         # adaptive max NL phase [rad]
     h: Optional[float] = None     # fixed step [km]; None -> adaptive
-    method: str = "reference"     # 'reference' | 'o4'
+    method: str = "reference"     # 'reference' | 'o4' | 'local_error'
+    tol: float = 1e-5             # target relative local error per step
+    # (o4 h=None and local_error; ignored by 'reference')
 
     def __post_init__(self):
         if self.length <= 0:
@@ -170,14 +177,16 @@ class FiberSpec:
             raise ValueError("FiberSpec.phi_max must be > 0")
         if self.h is not None and self.h <= 0:
             raise ValueError("FiberSpec.h must be > 0 km (or None)")
-        if self.method not in ("reference", "o4"):
+        if self.method not in ("reference", "o4", "local_error"):
             raise ValueError(
-                "FiberSpec.method must be 'reference' or 'o4'")
-        if self.method == "o4" and self.h is None:
+                "FiberSpec.method must be 'reference', 'o4' or "
+                "'local_error'")
+        if self.tol <= 0:
+            raise ValueError("FiberSpec.tol must be > 0")
+        if self.method == "local_error" and self.h is not None:
             raise ValueError(
-                "FiberSpec(method='o4') needs a fixed step h (the "
-                "Yoshida composition is a fixed-step scheme; pick h "
-                "from scripts/calibrate_equal_accuracy.py)")
+                "FiberSpec(method='local_error') is adaptive; give tol, "
+                "not h (use method='o4' for a fixed-step scheme)")
 
 
 @dataclass(frozen=True)
@@ -604,6 +613,16 @@ class LinkProgram:
                             f, phi_w, cc["hs"], g_nl, a_lin)
                     return ssfm.ssfm_scan_inside(f, phi_w, cc["hs"], g_nl,
                                                  a_lin)
+                if cc["method"] == "o4":      # self-tuning Yoshida S4
+                    f, _ = ssfm.ssfm_o4_auto_inside(
+                        f, phi_w, st.length, g_nl, st.tol,
+                        st.length / 10.0, a_lin)
+                    return f
+                if cc["method"] == "local_error":
+                    f, _ = ssfm.ssfm_local_error_inside(
+                        f, phi_w, st.length, g_nl, st.tol,
+                        st.length / 10.0, a_lin)
+                    return f
                 maxP0 = jnp.max(f.real**2 + f.imag**2)
                 h0 = jnp.minimum(
                     jnp.float32(st.phi_max)

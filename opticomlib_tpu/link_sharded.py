@@ -383,6 +383,21 @@ class ShardedLinkProgram:
                             f, phi_q, jnp.asarray(cc["hs"]), g_nl, a_lin,
                             spectral=lambda A, E: _spectral(A, E))
                     return _fiber_fixed(f, phi_q, cc["hs"], g_nl, a_lin)
+                if cc["method"] in ("o4", "local_error"):
+                    # self-tuning schemes on the sharded waveform: the
+                    # pencil FFT is the spectral substep, and the error
+                    # norms are psum'd over the time groups so every
+                    # device agrees on h.  (One joint h over this
+                    # device's local channels — the error target is the
+                    # joint relative norm, conservative per channel.)
+                    fn = (ssfm.ssfm_o4_auto_inside if cc["method"] == "o4"
+                          else ssfm.ssfm_local_error_inside)
+                    f, _ = fn(
+                        f, phi_q, st.length, g_nl, st.tol,
+                        st.length / 10.0, a_lin,
+                        reduce_sum=lambda s: jax.lax.psum(s, t_ax),
+                        spectral=lambda A, E: _spectral(A, E))
+                    return f
                 return _fiber_adaptive(f, phi_q, st.length, g_nl, a_lin,
                                        st.phi_max)
 

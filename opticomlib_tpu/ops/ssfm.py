@@ -42,7 +42,8 @@ __all__ = ["linear_operator", "dispersion_phase", "ssfm_propagate",
            "adaptive_h0",
            "ssfm_step_schedule", "dispersive_step", "ssfm_scan_o4",
            "ssfm_local_error", "progress_bar", "ssfm_while_inside",
-           "ssfm_scan_inside", "ssfm_o4_scan_inside"]
+           "ssfm_scan_inside", "ssfm_o4_scan_inside", "ssfm_o4_auto",
+           "ssfm_o4_auto_inside", "ssfm_local_error_inside"]
 
 _LOG10E_X10 = 4.342944819032518  # 10*log10(e): dB/km -> 1/km divisor
 
@@ -315,18 +316,24 @@ def ssfm_step_schedule(length: float, h: float) -> np.ndarray:
 # accuracy than the reference's 2nd-order phi_max-adaptive stepping)
 # ----------------------------------------------------------------------
 
-def _strang_step(A, phi_w, alpha, h, gamma, E=None):
+def _strang_step(A, phi_w, alpha, h, gamma, E=None, spectral=None):
     """True Strang split step: the second nonlinear half uses the field
     *after* the linear substep (genuinely 2nd-order).  The reference's step
     (:func:`_nl_l_nl_step`) reuses the rotation factors frozen at the step
     start (devices.py:1172-1196) — cheaper per step, but its splitting
     error degrades toward 1st order when the per-step dispersion is strong,
-    which would defeat the higher-order compositions below."""
+    which would defeat the higher-order compositions below.
+
+    ``spectral``: optional ``(A, E) -> A`` override for the spectral
+    multiply (the sharded solvers plug in the pencil-FFT transform)."""
     phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
     A = A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
     if E is None:
         E = _lin_factor(phi_w, alpha, h)
-    A = jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * E, axis=-1)
+    if spectral is None:
+        A = jnp.fft.ifft(jnp.fft.fft(A, axis=-1) * E, axis=-1)
+    else:
+        A = spectral(A, E)
     phi = (gamma * (h / 2)) * (A.real * A.real + A.imag * A.imag)
     return A * jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
 
@@ -376,6 +383,119 @@ def ssfm_o4_scan_inside(A, phi_w, hs, gamma, alpha, spectral=None):
     return A
 
 
+def _o4_step(A, phi_w, alpha, h, gamma, spectral=None):
+    """One 4th-order Yoshida step S4(h) = S2(w1 h) S2(w0 h) S2(w1 h)."""
+    A = _strang_step(A, phi_w, alpha, h * jnp.float32(_W1), gamma,
+                     spectral=spectral)
+    A = _strang_step(A, phi_w, alpha, h * jnp.float32(_W0), gamma,
+                     spectral=spectral)
+    return _strang_step(A, phi_w, alpha, h * jnp.float32(_W1), gamma,
+                        spectral=spectral)
+
+
+def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
+                        reduce_sum=None, spectral=None):
+    """Self-tuning 4th-order SSFM body — complex in/out, for use *inside*
+    an enclosing jit (the fused link's ``FiberSpec(method='o4', h=None)``
+    stages).
+
+    Composes the Yoshida S4 stepper with the Sinkin-style local-error
+    step controller (step doubling): each attempted step advances with
+    one coarse S4(h) and two fine S4(h/2) steps, estimates the relative
+    local error ``delta = ||u_f - u_c|| / ||u_f||``, Richardson-combines
+    to 5th order ``(16 u_f - u_c)/15``, and controls the step with the
+    4th-order exponent (factor ``2^(1/5)``):
+
+      delta > 2 tol        -> discard, halve h
+      tol < delta <= 2 tol -> accept, h /= 2^(1/5)
+      delta < tol/2        -> accept, h *= 2^(1/5)
+
+    This removes the manual per-config ``h`` calibration the fixed-step
+    o4 scheme needed (round-4 verdict): ``tol`` is a physical target
+    (relative local error per step), and h settles near the largest step
+    meeting it.  Nine FFT pairs per attempted step — worth it only when
+    the target accuracy is tight enough that the reference scheme would
+    need many more 1-FFT-pair steps (see docs/performance.md).
+
+    ``reduce_sum``: optional collective applied to the local squared-norm
+    partial sums (e.g. ``lax.psum`` inside shard_map), making the error
+    control global on a sharded waveform.  Returns
+    ``(A, n_attempted_steps)``.
+    """
+    alpha = jnp.float32(alpha)
+    length = jnp.float32(length)
+    gamma = jnp.float32(gamma)
+    tol = jnp.float32(tol)
+    grow = jnp.float32(2.0 ** (1.0 / 5.0))
+
+    h_floor = length * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(400_000)
+
+    def cond(carry):
+        _, z, _, steps = carry
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(carry):
+        A, z, h, steps = carry
+        h = jnp.minimum(h, length - z)
+        u_c = _o4_step(A, phi_w, alpha, h, gamma, spectral=spectral)
+        u_f = _o4_step(_o4_step(A, phi_w, alpha, h / 2, gamma,
+                                spectral=spectral),
+                       phi_w, alpha, h / 2, gamma, spectral=spectral)
+        diff = u_f - u_c
+        err2 = jnp.sum(diff.real**2 + diff.imag**2)
+        ref2 = jnp.sum(u_f.real**2 + u_f.imag**2)
+        if reduce_sum is not None:
+            err2 = reduce_sum(err2)
+            ref2 = reduce_sum(ref2)
+        delta = jnp.sqrt(err2) / jnp.maximum(jnp.sqrt(ref2),
+                                             jnp.float32(1e-30))
+
+        accept = jnp.logical_or(delta <= 2 * tol, h <= h_floor)
+        A_new = (jnp.float32(16.0) * u_f - u_c) / jnp.float32(15.0)
+        A = jnp.where(accept, A_new, A)
+        z = jnp.where(accept, z + h, z)
+
+        h_next = jnp.where(
+            delta > 2 * tol, h / 2,
+            jnp.where(delta > tol, h / grow,
+                      jnp.where(delta < tol / 2, h * grow, h)))
+        h_next = jnp.clip(h_next, h_floor, length)
+        return (A, z, h_next.astype(jnp.float32), steps + 1)
+
+    A, z, h, steps = jax.lax.while_loop(
+        cond, body, (A, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0)))
+    return A, steps
+
+
+@jax.jit
+def _ssfm_o4_auto_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
+    A, steps = ssfm_o4_auto_inside(jax.lax.complex(Are, Aim), phi_w,
+                                   length, gamma, tol, h0, alpha)
+    return A.real, A.imag, steps
+
+
+def ssfm_o4_auto(A, w_rad_s, length, alpha=0.0, beta_2=0.0, beta_3=0.0,
+                 gamma=0.0, tol=1e-5, h0=None):
+    """Self-tuning **4th-order** split-step propagation: Yoshida S4 steps
+    under step-doubling local-error control (see
+    :func:`ssfm_o4_auto_inside`).  This is what ``FIBER(method='o4')``
+    runs when no fixed ``h`` is given — no calibration script needed.
+    ``tol`` is the target relative local error per step (keep
+    >= ~1e-6: below that the float32 error estimate saturates).
+    """
+    A_host = np.asarray(A, dtype=np.complex64)
+    Are, Aim = _split(A_host)
+    phi_w = dispersion_phase(w_rad_s, beta_2, beta_3)
+    if h0 is None:
+        h0 = length / 10.0
+    re, im, _ = _ssfm_o4_auto_loop(
+        Are, Aim, phi_w, jnp.float32(length), jnp.float32(gamma),
+        jnp.float32(tol), jnp.float32(min(h0, length)),
+        jnp.float32(alpha_per_km(alpha)))
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
 @jax.jit
 def _ssfm_scan_o4(Are, Aim, phi_w, hs, gamma, alpha):
     A = ssfm_o4_scan_inside(jax.lax.complex(Are, Aim), phi_w, hs,
@@ -402,12 +522,14 @@ def ssfm_scan_o4(A, w_rad_s, length, alpha=0.0, beta_2=0.0, beta_3=0.0,
     return np.asarray(re) + 1j * np.asarray(im)
 
 
-@partial(jax.jit, static_argnames=())
-def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
-    """Sinkin et al. (2003) local-error method: advance with one coarse
-    step S2(h) and two fine steps S2(h/2)^2, combine by local Richardson
-    extrapolation ``(4 u_f - u_c)/3`` (3rd-order solution), and control the
-    step from the relative local error delta = ||u_f - u_c|| / ||u_f||:
+def ssfm_local_error_inside(A, phi_w, length, gamma, tol, h0, alpha,
+                            reduce_sum=None, spectral=None):
+    """Sinkin et al. (2003) local-error method body — complex in/out, for
+    use *inside* an enclosing jit (``FiberSpec(method='local_error')``
+    stages of the fused link): advance with one coarse step S2(h) and two
+    fine steps S2(h/2)^2, combine by local Richardson extrapolation
+    ``(4 u_f - u_c)/3`` (3rd-order solution), and control the step from
+    the relative local error delta = ||u_f - u_c|| / ||u_f||:
 
       delta > 2 tol        -> discard, halve h
       tol < delta <= 2 tol -> accept, h /= 2^(1/3)
@@ -416,8 +538,13 @@ def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
     Three FFT pairs per attempted step; h settles near the largest value
     meeting the target accuracy — typically far fewer total FFTs than the
     phi_max criterion at equal output error.
+
+    ``reduce_sum``: optional collective applied to the local squared-norm
+    partial sums (e.g. ``lambda s: jax.lax.psum(s, 'time')`` inside
+    shard_map) so the error control sees the GLOBAL norm on a sharded
+    waveform.  Returns ``(A, n_attempted_steps)``.
     """
-    A0 = jax.lax.complex(Are, Aim)
+    A0 = A
     alpha = jnp.float32(alpha)
     length = jnp.float32(length)
     gamma = jnp.float32(gamma)
@@ -434,13 +561,18 @@ def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
     def body(carry):
         A, z, h, steps = carry
         h = jnp.minimum(h, length - z)
-        u_c = _strang_step(A, phi_w, alpha, h, gamma)
-        u_f = _strang_step(_strang_step(A, phi_w, alpha, h / 2, gamma),
-                           phi_w, alpha, h / 2, gamma)
+        u_c = _strang_step(A, phi_w, alpha, h, gamma, spectral=spectral)
+        u_f = _strang_step(_strang_step(A, phi_w, alpha, h / 2, gamma,
+                                        spectral=spectral),
+                           phi_w, alpha, h / 2, gamma, spectral=spectral)
         diff = u_f - u_c
-        err = jnp.sqrt(jnp.sum(diff.real**2 + diff.imag**2))
-        ref = jnp.sqrt(jnp.sum(u_f.real**2 + u_f.imag**2))
-        delta = err / jnp.maximum(ref, jnp.float32(1e-30))
+        err2 = jnp.sum(diff.real**2 + diff.imag**2)
+        ref2 = jnp.sum(u_f.real**2 + u_f.imag**2)
+        if reduce_sum is not None:
+            err2 = reduce_sum(err2)
+            ref2 = reduce_sum(ref2)
+        delta = jnp.sqrt(err2) / jnp.maximum(jnp.sqrt(ref2),
+                                             jnp.float32(1e-30))
 
         accept = jnp.logical_or(delta <= 2 * tol, h <= h_floor)
         A_new = (jnp.float32(4.0) * u_f - u_c) / jnp.float32(3.0)
@@ -456,6 +588,13 @@ def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
 
     A, z, h, steps = jax.lax.while_loop(
         cond, body, (A0, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0)))
+    return A, steps
+
+
+@jax.jit
+def _ssfm_local_error_loop(Are, Aim, phi_w, length, gamma, tol, h0, alpha):
+    A, steps = ssfm_local_error_inside(jax.lax.complex(Are, Aim), phi_w,
+                                       length, gamma, tol, h0, alpha)
     return A.real, A.imag, steps
 
 

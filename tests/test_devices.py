@@ -238,8 +238,10 @@ def test_FIBER_method_validation():
     op = LASER(P0=1)
     with np.testing.assert_raises(ValueError):
         FIBER(op, length=1, method="bogus")
-    with np.testing.assert_raises(ValueError):
-        FIBER(op, length=1, method="o4")  # o4 requires h
+    # o4 without h self-tunes (round-5 change: step-doubling local-error
+    # control; previously raised ValueError)
+    out = FIBER(op, length=1, beta_2=-20, gamma=1.0, method="o4")
+    assert out.shape == op.shape
 
 
 def test_FIBER_2pol():

@@ -57,6 +57,12 @@ _STAGE_CASES = {
     "dbp": (_FIB, EDFASpec(G=10.0),
             DBPSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3, h=1.0,
                     undo_gain_dB=10.0)),
+    # round-5 self-tuning schemes (no fixed h, no calibration)
+    "o4_auto": (FiberSpec(length=50, alpha=0.2, beta_2=-21.0, gamma=1.3,
+                          method="o4", tol=1e-5),),
+    "local_error": (FiberSpec(length=50, alpha=0.2, beta_2=-21.0,
+                              gamma=1.3, method="local_error",
+                              tol=1e-5),),
 }
 
 

@@ -302,12 +302,48 @@ class TestFiberSpecO4:
         np.testing.assert_allclose(sw1.threshold, sw0.threshold,
                                    rtol=1e-3, atol=1e-6)
 
-    def test_o4_requires_fixed_h(self):
+    def test_method_validation(self):
         import pytest
 
         from opticomlib_tpu.link import FiberSpec
 
-        with pytest.raises(ValueError, match="o4"):
-            FiberSpec(length=50, gamma=1.3, beta_2=-21.0, method="o4")
+        # o4 with h=None self-tunes since round 5 (no longer an error)
+        FiberSpec(length=50, gamma=1.3, beta_2=-21.0, method="o4")
         with pytest.raises(ValueError, match="method"):
             FiberSpec(length=50, h=1.0, method="rk4")
+
+
+# ------------------------------------------------- self-tuning schemes
+def test_fiber_o4_auto_reachable_from_linkspec():
+    """FiberSpec(method='o4', h=None, tol=...) self-tunes in the fused
+    graph (round-5: no calibration script needed) and its DBP twin
+    inverts the span."""
+    L = 40.0
+    kw = dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    f0 = _field(_spec(()))
+    fwd_bwd = _field(_spec((
+        FiberSpec(length=L, method="o4", tol=1e-5, **kw),
+        DBPSpec(length=L, method="o4", tol=1e-5, **kw),
+    )))
+    err = np.linalg.norm(fwd_bwd - f0) / np.linalg.norm(f0)
+    assert err < 5e-3, err
+
+
+def test_fiber_local_error_reachable_from_linkspec():
+    L = 40.0
+    kw = dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    f_ref = _field(_spec((
+        FiberSpec(length=L, phi_max=0.001, **kw),)))
+    f_le = _field(_spec((
+        FiberSpec(length=L, method="local_error", tol=1e-6, **kw),)))
+    err = np.linalg.norm(f_le - f_ref) / np.linalg.norm(f_ref)
+    assert err < 5e-3, err
+
+
+def test_fiber_spec_validation_new_methods():
+    with pytest.raises(ValueError):
+        FiberSpec(length=10, method="local_error", h=1.0)
+    with pytest.raises(ValueError):
+        FiberSpec(length=10, tol=0.0)
+    # o4 with h=None is now legal (self-tuning)
+    FiberSpec(length=10, method="o4")

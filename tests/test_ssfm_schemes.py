@@ -87,3 +87,44 @@ def test_local_error_linear_limit(fine_reference):
                                    beta_2=CFG["beta_2"], gamma=0.0,
                                    tol=1e-6, h0=L)
     assert _err(out, exact) < 1e-5
+
+
+def test_o4_auto_meets_tolerance(fine_reference):
+    """Self-tuning o4 (round-5): S4 steps under step-doubling local-error
+    control — FIBER(method='o4') with no ``h`` and no calibration."""
+    A, w, ref = fine_reference
+    out = ssfm.ssfm_o4_auto(A, w, L, tol=1e-6, **CFG)
+    assert _err(out, ref) < 5e-4
+
+    # looser tolerance -> larger steps -> (weakly) larger error
+    out_loose = ssfm.ssfm_o4_auto(A, w, L, tol=1e-3, **CFG)
+    assert _err(out_loose, ref) < 5e-2
+
+
+def test_o4_auto_matches_fixed_step_family(fine_reference):
+    """The auto scheme is the same S4 map as ssfm_scan_o4, so at a tight
+    tolerance both land within the float32 noise floor of each other."""
+    A, w, ref = fine_reference
+    auto = ssfm.ssfm_o4_auto(A, w, L, tol=1e-6, **CFG)
+    fixed = ssfm.ssfm_scan_o4(A, w, L, h=L / 64, **CFG)
+    assert _err(auto, fixed) < 1e-3
+
+
+def test_fiber_o4_auto_dbp_roundtrip():
+    """FIBER(method='o4') -> DBP(method='o4') inverts the span without any
+    manual step choice (the round-4 usability gap)."""
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import DBP, FIBER
+    from opticomlib_tpu.signals import OpticalSignal
+
+    gv(sps=16, R=10e9, N=128)
+    rs = np.random.RandomState(0)
+    x = (0.1 * (rs.randn(gv.N * gv.sps) + 1j * rs.randn(gv.N * gv.sps))
+         ).astype(np.complex64)
+    op = OpticalSignal(x)
+    fwd = FIBER(op, length=40, alpha=0.2, beta_2=-21, gamma=1.3,
+                method="o4", tol=1e-5)
+    back = DBP(fwd, length=40, alpha=0.2, beta_2=-21, gamma=1.3,
+               method="o4", tol=1e-5)
+    err = (np.linalg.norm(back.to_numpy() - x) / np.linalg.norm(x))
+    assert err < 5e-3, err

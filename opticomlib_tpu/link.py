@@ -56,6 +56,7 @@ selects a phase modulator; ``adc_bits`` adds an in-graph ADC.  Pass
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 from types import SimpleNamespace
 from typing import Optional, Tuple, Union
@@ -562,12 +563,17 @@ class LinkProgram:
             if has_df:
                 phase = phase + consts["df_phase"]
             amp = jnp.float32(P0_amp)
+            rin_ok = jnp.float32(1.0)
             if sigma_rin > 0:
                 rin_noise = gaussian_inside(k_rin, (n,), sigma_rin)
                 # the build-time guard rejects configs whose EXPECTED
                 # minimum draw crosses -1, but a given seed's actual min
                 # still can; clamp the power at 0 so the tail draw darkens
-                # one sample instead of NaN-ing the whole fused chain
+                # one sample instead of NaN-ing the whole fused chain,
+                # and raise the validity flag (the staged LASER — like
+                # the reference, devices.py:492-500 — RAISES on such a
+                # draw; the flag makes the fused clamp attributable)
+                rin_ok = (jnp.min(rin_noise) > -1.0).astype(jnp.float32)
                 amp = amp * jnp.sqrt(jnp.maximum(1 + rin_noise, 0.0))
             if sigma_ph > 0 or has_df:
                 E = amp * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
@@ -731,7 +737,9 @@ class LinkProgram:
             out = (v, v[instant::sps])
             if return_field:
                 out = out + (field.real, field.imag)
-            return out
+            # trailing diagnostics: rin_ok == 0 means a RIN draw crossed
+            # -1 and was clamped (front-positional consumers unaffected)
+            return out + (rin_ok,)
 
         self.consts = consts
         self.fn = fwd
@@ -756,15 +764,22 @@ class LinkProgram:
         tx = BinarySequence(bits)
         if tx.size != self.n_bits:
             raise ValueError(f"need {self.n_bits} bits, got {tx.size}")
-        v, slots = self.jitted(
-            jnp.asarray(tx.to_numpy(np.float32)),
-            jnp.uint32(seed))[:2]
+        out = self.jitted(
+            jnp.asarray(tx.to_numpy(np.float32)), jnp.uint32(seed))
+        v, slots = out[:2]
+        rin_ok = float(out[-1])
+        if rin_ok == 0.0:
+            warnings.warn(
+                "a RIN draw crossed -1 for this seed and was clamped to "
+                "dark (the staged LASER raises here, reference "
+                "devices.py:492-500); decrease `rin` or change the seed.",
+                RuntimeWarning, stacklevel=2)
         v_np = np.asarray(v)
         slots_np = np.asarray(slots)
 
         ns = SimpleNamespace(tx=tx, v=ElectricalSignal(v_np),
                              slots=ElectricalSignal(slots_np),
-                             program=self)
+                             program=self, rin_ok=bool(rin_ok))
 
         def decide(threshold: float) -> BinarySequence:
             return BinarySequence((slots_np > threshold).astype(np.uint8))
@@ -873,15 +888,22 @@ class LinkProgram:
             sps = self.params.sps
 
             def prog(bits_f32, seed_u32, consts):
-                v, slots = self.fn(bits_f32, seed_u32, consts)[:2]
+                full = self.fn(bits_f32, seed_u32, consts)
+                v, slots = full[:2]
                 return _ook_rx_ingraph(v, slots, bits_f32, sps,
-                                       nslots, sps_resamp)
+                                       nslots, sps_resamp) + (full[-1],)
 
             cache[key] = jax.jit(prog)
 
-        m, rth, n_err = jax.device_get(cache[key](
+        m, rth, n_err, rin_ok = jax.device_get(cache[key](
             jnp.asarray(tx.to_numpy(np.float32)), jnp.uint32(seed),
             self.consts))
+        if float(rin_ok) == 0.0:
+            warnings.warn(
+                "a RIN draw crossed -1 for this seed and was clamped to "
+                "dark (the staged LASER raises here, reference "
+                "devices.py:492-500); decrease `rin` or change the seed.",
+                RuntimeWarning, stacklevel=2)
         out = {k: (v.item() if isinstance(v, np.ndarray) and v.ndim == 0
                    else v) for k, v in m.items()}
         for k in ("threshold", "y_left", "y_right"):
@@ -890,7 +912,8 @@ class LinkProgram:
         out["dt"] = 1.0 / self.params.fs
         n_err = int(n_err)
         return SimpleNamespace(ber=n_err / self.n_bits, n_errors=n_err,
-                               threshold=float(rth), eye=Eye(out), tx=tx)
+                               threshold=float(rth), eye=Eye(out), tx=tx,
+                               rin_ok=bool(float(rin_ok)))
 
     def dsp_ppm(self, M: int, decision: str = "soft", bits=None,
                 seed: int = 0, prbs_order: int = 15,

@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.constants import e, k as kB
 
 from .link import (LinkProgram, LinkSpec, _ook_rx_ingraph,
-                   _ppm_hard_rx_ingraph)
+                   _ppm_hard_rx_ingraph, _shortest_int_masked)
 from .params import SimParams
 from .parallel.pipeline import pipeline_stages_core
 
@@ -59,10 +59,6 @@ class PipelinedLinkProgram:
 
     def __init__(self, spec: LinkSpec, n_bits: int, params: SimParams,
                  mesh: Mesh, span_axis: str = "span"):
-        if spec.adc_bits is not None:
-            raise NotImplementedError(
-                "adc_bits on the pipelined link is not supported yet "
-                "(use the fused or time-sharded program)")
         self.spec = spec
         self.n_bits = int(n_bits)
         self.params = params
@@ -81,16 +77,18 @@ class PipelinedLinkProgram:
         self.consts = self._tx.consts
         self._dsp_cache = {}
 
-    def _build_prog(self, B: int, seed: int, rx_one):
+    def _build_prog(self, B: int, rx_one):
         """Compile TX -> pipelined channel -> per-channel ``rx_one(v_c,
         slots_c, info_c, seed_c)`` into one jitted program.  ``rx_one``
         receives the filtered PD voltage and slot samples (both
-        channel-local) and returns a tuple of per-channel scalars."""
+        channel-local) and returns a tuple of per-channel scalars.  The
+        ASE seed is a traced argument, so seed sweeps reuse the
+        compiled program (round-5 advisor fix)."""
         spec, params = self.spec, self.params
         sps, fs, n = params.sps, params.fs, self.n
         mesh, span_axis = self.mesh, self.span_axis
         run, any_ase, pol_shape = pipeline_stages_core(
-            mesh, fs, spec.stages, n=n, B=B, f0=params.f0, seed=seed,
+            mesh, fs, spec.stages, n=n, B=B, f0=params.f0,
             span_axis=span_axis)
         ch_spec = NamedSharding(mesh, P(span_axis, None))
         field_spec = NamedSharding(
@@ -101,7 +99,7 @@ class PipelinedLinkProgram:
         instant = (spec.sampler_instant
                    if spec.sampler_instant is not None else sps // 2)
 
-        def prog(bits, info, seeds, consts):
+        def prog(bits, info, seeds, seed_u32, consts):
             # --- TX (channel-parallel, stages-less fused twin) ---
             def tx_one(b, s, consts):
                 out = self._tx.fn(b, s, consts)
@@ -115,7 +113,7 @@ class PipelinedLinkProgram:
             f = jax.lax.with_sharding_constraint(f, field_spec)
 
             # --- channel: the span pipeline (shard_map inside this jit)
-            f = run(f)
+            f = run(f, seed_u32)
             f = jax.lax.with_sharding_constraint(f, field_spec)
 
             # --- RX front end (channel-local PD + LPF) + receiver ---
@@ -143,14 +141,23 @@ class PipelinedLinkProgram:
                 v = jnp.fft.ifft(
                     jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
                     * consts["H2_pd"]).real
+                if spec.adc_bits is not None:
+                    # in-graph ADC: uniform quantization over the robust
+                    # 99.99% shortest-interval range, channel-local —
+                    # same operator as the fused link (reference
+                    # devices.py:1616-1627)
+                    lo, hi = _shortest_int_masked(
+                        v, jnp.ones(v.shape, bool), 99.99)
+                    nq = jnp.float32(2 ** int(spec.adc_bits) - 1)
+                    code = jnp.round((v - lo) / (hi - lo) * nq)
+                    v = code / nq * (hi - lo) + lo
                 return rx_one(v, v[instant::sps], info_c, seed_c)
 
             return jax.vmap(rx_front, in_axes=(0, 0, 0))(f, info, seeds)
 
         return jax.jit(prog), ch_spec
 
-    def _build_dsp(self, B: int, nslots: int, sps_resamp: Optional[int],
-                   seed: int):
+    def _build_dsp(self, B: int, nslots: int, sps_resamp: Optional[int]):
         sps = self.params.sps
 
         def rx_one(v, slots, bits_c, seed_c):
@@ -159,7 +166,7 @@ class PipelinedLinkProgram:
             return (m["mu0"], m["mu1"], m["s0"], m["s1"], m["er"],
                     m["eye_h"], rth, n_err)
 
-        return self._build_prog(B, seed, rx_one)
+        return self._build_prog(B, rx_one)
 
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
                 prbs_order: int = 15, nslots: int = 8192,
@@ -183,10 +190,10 @@ class PipelinedLinkProgram:
                 f"bits must have shape {(n_channels, self.n_bits)}, got "
                 f"{bits.shape}")
 
-        key = (n_channels, nslots, sps_resamp, seed)
+        key = (n_channels, nslots, sps_resamp)
         if key not in self._dsp_cache:
             self._dsp_cache[key] = self._build_dsp(
-                n_channels, nslots, sps_resamp, seed)
+                n_channels, nslots, sps_resamp)
         prog, ch_spec = self._dsp_cache[key]
 
         seeds = np.arange(n_channels, dtype=np.uint32) + np.uint32(seed)
@@ -197,7 +204,8 @@ class PipelinedLinkProgram:
             NamedSharding(self.mesh, P(self.span_axis)))
         mu0, mu1, s0, s1, er, eye_h, rth, n_err = (
             np.asarray(a) for a in jax.device_get(
-                prog(bits_d, bits_d, seeds_d, self.consts)))
+                prog(bits_d, bits_d, seeds_d, jnp.uint32(seed),
+                     self.consts)))
         n_err = n_err.astype(np.int64)
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err,
@@ -243,7 +251,7 @@ class PipelinedLinkProgram:
             np.asarray(PPM_ENCODER(bits[c], M).data, np.float32)
             for c in range(n_channels)])
 
-        key = ("ppm", n_channels, M, decision, nslots, sps_resamp, seed)
+        key = ("ppm", n_channels, M, decision, nslots, sps_resamp)
         if key not in self._dsp_cache:
             sps = self.params.sps
 
@@ -257,8 +265,7 @@ class PipelinedLinkProgram:
                     v, slots, info_c, M, sps, nslots, sps_resamp, seed_c)
                 return rth, n_err
 
-            self._dsp_cache[key] = self._build_prog(n_channels, seed,
-                                                    rx_one)
+            self._dsp_cache[key] = self._build_prog(n_channels, rx_one)
         prog, ch_spec = self._dsp_cache[key]
 
         seeds = np.arange(n_channels, dtype=np.uint32) + np.uint32(seed)
@@ -269,7 +276,7 @@ class PipelinedLinkProgram:
             jnp.asarray(seeds),
             NamedSharding(self.mesh, P(self.span_axis)))
         rth, n_err = jax.device_get(prog(slots_d, info_d, seeds_d,
-                                         self.consts))
+                                         jnp.uint32(seed), self.consts))
         n_err = np.asarray(n_err).astype(np.int64)
         rth = np.asarray(rth, np.float64)
         return SimpleNamespace(

@@ -268,24 +268,30 @@ def _flatten_stage_specs(stages):
     return flat
 
 
-def _stage_segments(stages, fs, f0):
+def _stage_segments(stages, fs, f0, n):
     """Lower a flat LinkSpec stage tuple to per-segment parameter vectors.
 
-    A *segment* is one pipeline work unit: ``x *= pre; SSFM(length, h |
-    phi_max); x *= gain; x += keyed 2-pol ASE``.  Every supported stage
-    maps onto it:
+    A *segment* is one pipeline work unit: ``x *= pre; SSFM(length,
+    scheme); x *= gain; x += keyed 2-pol ASE; x = |H|^2 filter`` — every
+    piece optional.  Every supported stage maps onto it:
 
     * ``FiberSpec`` (+ an immediately following ``EDFASpec`` merged in)
       — the classic span; ``DBPSpec`` folds its sign flip and undo-gain
-      into (beta, gamma, alpha, pre);
-    * a standalone ``EDFASpec`` — zero-length segment (gain/ASE only);
-    * ``DMSpec`` — linear-only unit segment with ``beta_2*length = D``.
+      into (beta, gamma, alpha, pre); ``method`` selects the per-segment
+      scheme code (reference / o4 fixed / o4 self-tuning / local_error);
+    * a standalone ``EDFASpec`` — zero-length segment (gain/ASE, plus
+      its optional ``BW`` output filter as an |H|^2 bank entry);
+    * ``DMSpec`` — linear-only unit segment with ``beta_2*length = D``;
+    * ``BPFSpec`` — zero-length segment applying only its |H|^2 entry.
 
-    Returns (params dict of float64 np arrays, any_ase flag).
+    Returns (params dict of float64 np arrays, any_ase flag,
+    h2_bank (R, n) float32 array of zero-phase responses —
+    ``params['h2_idx'] >= 0`` indexes into it).
     """
     from scipy.constants import c as c_light
 
     from ..link import (BPFSpec, DBPSpec, DMSpec, EDFASpec, FiberSpec)
+    from ..ops import filters
     from ..ops.noise import ase_sigma
     from ..ops.ssfm import alpha_per_km
 
@@ -295,19 +301,44 @@ def _stage_segments(stages, fs, f0):
     flat = _flatten_stage_specs(stages)
     cols = {k: [] for k in ("pre", "length", "h", "phi_max", "alpha",
                             "beta_2", "beta_3", "gamma", "gain",
-                            "sigma_ase", "o4")}
+                            "sigma_ase", "scheme", "tol", "h2_idx")}
+    h2_bank = []      # per-stage zero-phase |H|^2 responses (EDFA BW/BPF)
+    h2_cache = {}
+
+    def _h2(order: int, BW_lp: float) -> int:
+        """Register a |H|^2 response in the bank, deduplicated."""
+        key = (int(order), float(BW_lp))
+        if key not in h2_cache:
+            h2_cache[key] = len(h2_bank)
+            h2_bank.append(np.asarray(filters.bessel_filtfilt_response(
+                int(order), float(BW_lp), float(fs), int(n)),
+                dtype=np.float32))
+        return h2_cache[key]
 
     def push(pre=1.0, length=0.0, h=0.0, phi_max=0.05, alpha=0.0,
              beta_2=0.0, beta_3=0.0, gamma=0.0, gain=1.0, sigma_ase=0.0,
-             o4=0.0):
+             scheme=0.0, tol=1e-5, h2_idx=-1.0):
         for k, v in locals().items():
             if k in cols:
                 cols[k].append(float(v))
 
     def edfa_vals(st):
+        if st.NF is not None and st.G < 0:
+            # mirror the fused builder's build-time check (link.py
+            # _stage_plan): a negative-gain ASE draw would NaN sigma
+            raise ValueError("EDFASpec with ASE (NF set) needs G >= 0 dB")
         gain = 10.0 ** (st.G / 20.0)
         sig = ase_sigma(st.G, st.NF, f0, fs) if st.NF is not None else 0.0
         return gain, sig
+
+    def scheme_code(st) -> float:
+        # 0 = reference (fixed h or phi_max-adaptive), 1 = o4 fixed h,
+        # 2 = o4 self-tuning, 3 = local_error (matches _SEG_SCHEMES)
+        if st.method == "o4":
+            return 1.0 if st.h is not None else 2.0
+        if st.method == "local_error":
+            return 3.0
+        return 0.0
 
     i = 0
     while i < len(flat):
@@ -318,39 +349,42 @@ def _stage_segments(stages, fs, f0):
             if isinstance(st, DBPSpec) and st.undo_gain_dB:
                 pre = 10.0 ** (-st.undo_gain_dB / 20.0)
             gain, sig = 1.0, 0.0
+            h2 = -1.0
             if i + 1 < len(flat) and isinstance(flat[i + 1], EDFASpec):
                 nxt = flat[i + 1]
-                if nxt.BW is None:               # BW needs a response
-                    gain, sig = edfa_vals(nxt)   # array; keep separate
-                    i += 1
+                gain, sig = edfa_vals(nxt)
+                if nxt.BW is not None:
+                    # optical BPF: full bandwidth BW -> low-pass BW/2
+                    # (reference devices.py:938-941 via 818-822)
+                    h2 = float(_h2(nxt.filt_order, nxt.BW / 2))
+                i += 1
             push(pre=pre, length=st.length,
                  h=(0.0 if st.h is None else st.h), phi_max=st.phi_max,
                  alpha=sgn * alpha_per_km(st.alpha),
                  beta_2=sgn * st.beta_2, beta_3=sgn * st.beta_3,
                  gamma=sgn * st.gamma, gain=gain, sigma_ase=sig,
-                 o4=(1.0 if st.method == "o4" else 0.0))
+                 scheme=scheme_code(st), tol=st.tol, h2_idx=h2)
         elif isinstance(st, EDFASpec):
-            if st.BW is not None:
-                raise NotImplementedError(
-                    "EDFASpec(BW=...) output filters are not supported "
-                    "on the span pipeline (use the fused link)")
             gain, sig = edfa_vals(st)
-            push(gain=gain, sigma_ase=sig)
+            h2 = (float(_h2(st.filt_order, st.BW / 2))
+                  if st.BW is not None else -1.0)
+            push(gain=gain, sigma_ase=sig, h2_idx=h2)
         elif isinstance(st, DMSpec):
             # H = exp(j w_ps^2 D/2) == a 1 km linear-only span with
             # beta_2 = D (fiber linear phase (beta_2/2) w_ps^2 * h)
             push(length=1.0, h=1.0, beta_2=st.D)
         elif isinstance(st, BPFSpec):
-            raise NotImplementedError(
-                "BPFSpec is not supported on the span pipeline (its "
-                "|H|^2 response is a length-n array per stage; use the "
-                "fused link)")
+            # zero-length segment applying only the |H|^2 response
+            # (reference devices.py:788-826: low-pass cutoff BW/2)
+            push(h2_idx=float(_h2(st.n, st.BW / 2)))
         else:
             raise ValueError(f"unsupported pipeline stage {st!r}")
         i += 1
 
     params = {k: np.asarray(v, np.float64) for k, v in cols.items()}
-    return params, bool(np.any(params["sigma_ase"] > 0))
+    bank = (np.stack(h2_bank) if h2_bank
+            else np.zeros((0, n), np.float32))
+    return params, bool(np.any(params["sigma_ase"] > 0)), bank
 
 
 def _segment_ssfm(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
@@ -424,6 +458,38 @@ def _segment_ssfm_o4(x, w2, w3, length, alpha, beta_2, beta_3, gamma,
     return x
 
 
+def _segment_phi_w(w2, w3, beta_2, beta_3):
+    return (beta_2 * jnp.float32(0.5)) * w2 + \
+        (beta_3 * jnp.float32(1.0 / 6.0)) * w3
+
+
+def _segment_ssfm_o4_auto(x, w2, w3, length, alpha, beta_2, beta_3,
+                          gamma, tol):
+    """Self-tuning Yoshida S4 segment (``FiberSpec(method='o4',
+    h=None)``): the step-doubling controller of
+    :func:`opticomlib_tpu.ops.ssfm.ssfm_o4_auto_inside` with all physics
+    as traced scalars, so one trace serves every such segment."""
+    from ..ops.ssfm import ssfm_o4_auto_inside
+
+    phi_w = _segment_phi_w(w2, w3, beta_2, beta_3)
+    x, _ = ssfm_o4_auto_inside(x, phi_w, length, gamma, tol,
+                               length / 10.0, alpha)
+    return x
+
+
+def _segment_ssfm_local_error(x, w2, w3, length, alpha, beta_2, beta_3,
+                              gamma, tol):
+    """Sinkin local-error segment (``FiberSpec(method='local_error')``),
+    traced-scalar variant (see :func:`opticomlib_tpu.ops.ssfm.
+    ssfm_local_error_inside`)."""
+    from ..ops.ssfm import ssfm_local_error_inside
+
+    phi_w = _segment_phi_w(w2, w3, beta_2, beta_3)
+    x, _ = ssfm_local_error_inside(x, phi_w, length, gamma, tol,
+                                   length / 10.0, alpha)
+    return x
+
+
 def span_pipeline_stages(
     A_batch,
     mesh: Mesh,
@@ -461,26 +527,28 @@ def span_pipeline_stages(
         raise ValueError("A_batch must be (B, n)")
     B, n = A_batch.shape
     run, any_ase, pol_shape = pipeline_stages_core(
-        mesh, fs, stages, n=n, B=B, f0=f0, seed=seed, span_axis=span_axis)
+        mesh, fs, stages, n=n, B=B, f0=f0, span_axis=span_axis)
     if any_ase:
         A_batch = jnp.stack([A_batch, jnp.zeros_like(A_batch)], axis=1)
     A_batch = jax.device_put(
         A_batch, NamedSharding(mesh, P(span_axis,
                                        *(None,) * len(pol_shape))))
-    return jax.jit(run)(A_batch)
+    return jax.jit(run)(A_batch, jnp.uint32(seed))
 
 
 def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
-                         f0: Optional[float] = None, seed: int = 0,
+                         f0: Optional[float] = None,
                          span_axis: str = "span"):
     """Build the (unjitted) shard_map'd pipeline runner for
     :func:`span_pipeline_stages` — factored out so the fused link can
     embed the pipeline inside ITS one jitted program
     (:class:`opticomlib_tpu.link_pipeline.PipelinedLinkProgram`).
 
-    Returns ``(run, any_ase, pol_shape)``: ``run`` maps a (B,) +
-    pol_shape complex batch sharded ``P(span_axis, None, ...)`` to the
-    propagated batch with the same sharding.
+    Returns ``(run, any_ase, pol_shape)``: ``run(batch, seed_u32)`` maps
+    a (B,) + pol_shape complex batch sharded ``P(span_axis, None, ...)``
+    to the propagated batch with the same sharding.  The ASE seed is a
+    **traced** uint32 argument (not baked into the trace), so seed-sweep
+    Monte Carlo runs reuse one compiled program.
     """
     S = mesh.shape[span_axis]
     if B % S:
@@ -488,7 +556,7 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
             f"batch size {B} must be a multiple of the span count {S}")
     C = B // S
 
-    params, any_ase = _stage_segments(stages, fs, f0)
+    params, any_ase, h2_bank = _stage_segments(stages, fs, f0, n)
     n_seg = params["length"].size
     if n_seg == 0:
         raise ValueError("stages resolve to zero pipeline segments")
@@ -499,7 +567,10 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
     K = n_seg // S
 
     pvec = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
-    base_key = jax.random.PRNGKey(seed)
+    scheme_vec = jnp.asarray(params["scheme"], jnp.int32)
+    h2_idx_vec = jnp.asarray(params["h2_idx"], jnp.int32)
+    has_h2 = h2_bank.shape[0] > 0
+    h2_bank_j = jnp.asarray(h2_bank) if has_h2 else None
 
     w_ps = 2 * np.pi * np.fft.fftfreq(n) * fs * 1e-12  # rad/ps
     w2 = jnp.asarray((w_ps ** 2).astype(np.float32))
@@ -507,21 +578,23 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
 
     pol_shape = (2, n) if any_ase else (n,)
 
-    def stage_step(x, m, d):
+    def stage_step(x, m, d, base_key):
         """All K local segments, back to back (one pipeline stage)."""
         def seg(j, x):
             s = d * K + j
             x = x * pvec["pre"][s]
-            x = jax.lax.cond(
-                pvec["o4"][s] > 0,
-                lambda x: _segment_ssfm_o4(
-                    x, w2, w3, pvec["length"][s], pvec["alpha"][s],
+            args = (w2, w3, pvec["length"][s], pvec["alpha"][s],
                     pvec["beta_2"][s], pvec["beta_3"][s],
-                    pvec["gamma"][s], pvec["h"][s]),
-                lambda x: _segment_ssfm(
-                    x, w2, w3, pvec["length"][s], pvec["alpha"][s],
-                    pvec["beta_2"][s], pvec["beta_3"][s],
-                    pvec["gamma"][s], pvec["h"][s], pvec["phi_max"][s]),
+                    pvec["gamma"][s])
+            x = jax.lax.switch(
+                scheme_vec[s],
+                [lambda x: _segment_ssfm(x, *args, pvec["h"][s],
+                                         pvec["phi_max"][s]),
+                 lambda x: _segment_ssfm_o4(x, *args, pvec["h"][s]),
+                 lambda x: _segment_ssfm_o4_auto(x, *args,
+                                                 pvec["tol"][s]),
+                 lambda x: _segment_ssfm_local_error(x, *args,
+                                                     pvec["tol"][s])],
                 x)
             x = x * pvec["gain"][s]
             if any_ase:
@@ -530,6 +603,13 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
                 dr = gaussian_inside(k_ms, (4, n), 1.0)
                 x = x + pvec["sigma_ase"][s] * jax.lax.complex(dr[:2],
                                                                dr[2:])
+            if has_h2:
+                # per-stage zero-phase |H|^2 (EDFA BW / BPF stages),
+                # applied after gain+ASE exactly like the fused builder
+                idx = h2_idx_vec[s]
+                H2 = jnp.take(h2_bank_j, jnp.maximum(idx, 0), axis=0)
+                y = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * H2, axis=-1)
+                x = jnp.where(idx >= 0, y, x)
             return x
 
         return jax.lax.fori_loop(0, K, seg, x)
@@ -546,13 +626,14 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
     chain_right = [(i, i + 1) for i in range(S - 1)]
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(span_axis, *(None,) * len(pol_shape)),),
+             in_specs=(P(span_axis, *(None,) * len(pol_shape)), P()),
              out_specs=P(span_axis, *(None,) * len(pol_shape)),
              check_vma=False)
-    def run(feed0):
+    def run(feed0, seed_u32):
         d = jax.lax.axis_index(span_axis)
         is_first = d == 0
         is_last = d == S - 1
+        base_key = jax.random.PRNGKey(seed_u32)
 
         def rotate(buf, slot):
             front = jax.lax.dynamic_slice(
@@ -571,7 +652,7 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
 
             m = t - d
             active = jnp.logical_and(m >= 0, m < B)
-            y = stage_step(x_in, m, d)
+            y = stage_step(x_in, m, d, base_key)
             y = jnp.where(active, y, jnp.zeros_like(y))
 
             oslot = jnp.mod(j0 + t, C)

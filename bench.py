@@ -334,11 +334,15 @@ def bench_dbp(n_spans=20, span_km=80.0, n=2**20, sps=16):
 
 
 def bench_dbp_o4(n_spans=20, span_km=80.0, n=2**20, sps=16):
-    """Config 4 at EQUAL ROUND-TRIP ERROR with the o4 scheme: the same
-    20x80 km + per-span-DBP chain, each span a fixed-step Yoshida
-    composition at the h calibrated so the round-trip residual is <= the
-    parity (phi_max=0.05 adaptive) run's (scripts/calibrate_dbp_o4.py
-    -> EQUAL_ACCURACY.json["config4"]).  Returns None if uncalibrated."""
+    """Config 4 with the o4 scheme — the CAPABILITY row, not a speedup
+    row: the same 20x80 km + per-span-DBP chain, each span a fixed-step
+    Yoshida composition at the h calibrated to an ABSOLUTE round-trip
+    residual target (scripts/calibrate_dbp_o4.py ->
+    EQUAL_ACCURACY.json["config4"]).  The parity scheme's residual at
+    its bench settings is ~sqrt(2) — it does not invert the link at all
+    — so no equal-error speedup vs parity is claimed (round-4 advisor
+    fix); the honest claim is that o4 inverts where parity cannot.
+    Returns None if uncalibrated."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -395,8 +399,13 @@ def bench_dbp_o4(n_spans=20, span_km=80.0, n=2**20, sps=16):
         "n_samples": n, "scheme": "o4", "h_km": h,
         "fft_pairs": pairs, "wall_s": round(best, 3),
         "rt_error": cal["o4"]["rt_error"],
+        "rt_target": cal.get("rt_target"),
+        "fwd_error_vs_independent_truth": cal["o4"].get("fwd_error"),
         "parity_rt_error": cal["parity"]["rt_error"],
-        "parity_fft_pairs": cal["parity"]["fft_pairs"],
+        "capability_note": "o4 inverts the link at the absolute target; "
+                           "the parity scheme's residual ~sqrt(2) means "
+                           "it cannot invert at its bench settings — no "
+                           "speedup-vs-parity is claimed",
         "metric_note": cal.get("metric")}
 
 
@@ -510,9 +519,8 @@ def main():
                                    **ppm_d},
             "config4_dbp_20x80": {"samples_per_s": round(dbp_sps, 1),
                                   **dbp_d},
-            **({"config4_dbp_o4_equal_error": {
-                "samples_per_s": round(dbp_o4[0], 1), **dbp_o4[1],
-                "speedup_vs_parity": round(dbp_o4[0] / dbp_sps, 2)}}
+            **({"config4_dbp_o4_roundtrip": {
+                "samples_per_s": round(dbp_o4[0], 1), **dbp_o4[1]}}
                if dbp_o4 else {}),
             "config5_wdm16_per_chip": {"samples_per_s": round(wdm_sps, 1),
                                        **wdm_d},

@@ -559,9 +559,12 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
     across the mesh and propagated by the multi-device solver
     (:func:`opticomlib_tpu.parallel.fiber.ssfm_sharded`), adaptive
     (``h=None``, per-step all-reduce(max)) or fixed-step.
-    ``shard_method`` selects ``'pencil'`` (exact distributed FFT) or
-    ``'overlap'`` (halo exchange).  A ``jax.Array`` signal payload stays
-    device-resident across chained mesh stages (no host round-trips).
+    ``shard_method`` selects ``'pencil'`` (exact distributed FFT),
+    ``'overlap'`` (halo exchange; cheaper interconnect, approximate), or
+    ``'auto'`` (pick by the measured ``2H/block`` crossover — see
+    :func:`opticomlib_tpu.parallel.fiber.resolve_shard_method`).  A
+    ``jax.Array`` signal payload stays device-resident across chained
+    mesh stages (no host round-trips).
 
     Parameters
     ----------

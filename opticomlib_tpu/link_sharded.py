@@ -613,7 +613,14 @@ class ShardedLinkProgram:
                                            nslots, sps_resamp)
 
                 m, rth, n_err = jax.vmap(rx_one)(vw, slots, bits)
-                return m, rth, n_err
+                # replicate the per-channel scalars across the mesh so
+                # EVERY process can device_get them — required for the
+                # multi-process (DCN) runs of tests/test_multihost.py,
+                # free single-process (tiny allgather of scalars)
+                rep = NamedSharding(self.mesh, P())
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, rep),
+                    (m, rth, n_err))
 
             self._dsp_cache[key] = jax.jit(prog)
         return self._dsp_cache[key]
@@ -699,6 +706,15 @@ class ShardedLinkProgram:
                 ss = jax.lax.with_sharding_constraint(
                     slot_samp, NamedSharding(self.mesh, i_spec))
 
+                rep = NamedSharding(self.mesh, P())
+
+                def _replicated(out):
+                    # scalars visible to every process (multi-host
+                    # device_get; see _dsp_program)
+                    return jax.tree_util.tree_map(
+                        lambda a: jax.lax.with_sharding_constraint(
+                            a, rep), out)
+
                 if decision == "soft":
                     def one(s_c, i_c):
                         pos = sdd_positions_jax(s_c, M)
@@ -706,7 +722,7 @@ class ShardedLinkProgram:
                         n_err = jnp.sum(rb != i_c.astype(jnp.uint8))
                         return jnp.full((), jnp.nan, jnp.float32), n_err
 
-                    return jax.vmap(one)(ss, info)
+                    return _replicated(jax.vmap(one)(ss, info))
 
                 # hard: eye metrology on a small channel-sharded gathered
                 # voltage window (same re-layout as _dsp_program)
@@ -719,7 +735,7 @@ class ShardedLinkProgram:
                         seed_c)
                     return rth, n_err
 
-                return jax.vmap(one)(vw, ss, info, seeds)
+                return _replicated(jax.vmap(one)(vw, ss, info, seeds))
 
             self._dsp_cache[key] = jax.jit(prog)
 

@@ -21,6 +21,7 @@ mesh in tests/test_parallel.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -35,7 +36,52 @@ from ..ops.ssfm import (adaptive_h0, alpha_per_km, dispersion_phase,
 from .dfft import pencil_fft, pencil_ifft, strided_w_grid
 from .halo import exchange_halos, halo_width
 
-__all__ = ["make_link_mesh", "ssfm_sharded", "shard_waveform"]
+__all__ = ["make_link_mesh", "ssfm_sharded", "shard_waveform",
+           "resolve_shard_method", "AUTO_HALO_FRAC"]
+
+# 'auto' picks overlap-save only when the per-step halo fraction
+# (2H/block) is at most this threshold.  MEASURED value
+# (scripts/bench_shard_crossover.py -> CROSSOVER.json, 8-device mesh,
+# 2^20-2^22 x {config2, config4-span}): overlap never beat the pencil
+# FFT on this mesh — it ran at 0.38-0.53x pencil's speed even at halo
+# fractions of 0.001-0.002, because the mesh's all_to_all is
+# shared-memory-cheap while overlap pays a padded local FFT — so the
+# measured threshold is 0.0 and 'auto' resolves to the exact pencil
+# transform unless pencil is infeasible.  On a real multi-chip slice
+# where all_to_all is ICI-bound the crossover can move: re-measure with
+# `bench_shard_crossover.py --tpu` and set
+# OPTICOMLIB_TPU_AUTO_HALO_FRAC to the measured value.
+AUTO_HALO_FRAC = float(os.environ.get(
+    "OPTICOMLIB_TPU_AUTO_HALO_FRAC", "0.0"))
+
+
+def resolve_shard_method(n: int, n_time: int, h, beta_2: float,
+                         beta_3: float, fs: float,
+                         halo_safety: float = 4.0,
+                         adaptive: bool = False) -> str:
+    """Resolve ``shard_method='auto'`` to 'pencil' or 'overlap' from the
+    structural cost ratio ``2H/block`` (halo samples per side over block
+    length) against the MEASURED crossover threshold
+    :data:`AUTO_HALO_FRAC`.
+
+    Adaptive stepping always resolves to 'pencil': its worst-case halo
+    must be sized from a host readback of the input power (a launch
+    sync the pencil path never pays) and padded 4x harder because the
+    truncation error feeds back through the step controller.  Fixed-
+    step runs pick overlap-save only when the halo fraction is within
+    the measured threshold and the block admits it; pencil whenever its
+    exactness is free or overlap is infeasible.
+    """
+    block = n // n_time
+    pencil_ok = block % n_time == 0
+    if adaptive or h is None:
+        return "pencil" if pencil_ok else "overlap"
+    H = halo_width(float(h), beta_2, beta_3, fs, safety=halo_safety)
+    if 2 * H >= block:          # overlap infeasible
+        return "pencil"
+    if not pencil_ok:           # pencil infeasible (n % n_time^2 != 0)
+        return "overlap"
+    return "overlap" if 2 * H / block <= AUTO_HALO_FRAC else "pencil"
 
 
 def make_link_mesh(n_wdm: int = 1, n_time: Optional[int] = None,
@@ -216,6 +262,11 @@ def ssfm_sharded(
     if adaptive and gamma == 0:
         # linear-only: single step over the whole span (reference h0=length)
         h, adaptive = length, False
+    if method == "auto":
+        method = resolve_shard_method(
+            n, n_time, None if adaptive else min(float(h), float(length)),
+            beta_2, beta_3, fs, halo_safety=halo_safety,
+            adaptive=adaptive)
     if adaptive:
         if method == "overlap":
             # worst-case adaptive step (sizes the overlap halo):

@@ -78,3 +78,75 @@ def test_two_process_kill_and_resume_bitexact(tmp_path):
     codes, outs = _run_pair(_free_port(), ckpt, "run", ref)
     assert codes == [0, 0], outs
     assert all("OK bitexact" in o for o in outs), outs
+
+
+def test_two_process_wdm_receiver_matches_single_process():
+    """Config-5 receiver across 2 REAL processes (round-5, VERDICT item
+    5): the sharded fused dsp_wdm (8 ch over a global (2 wdm, 4 time)
+    mesh split across processes) returns the same per-channel BER and
+    thresholds as the identical single-process program."""
+    import numpy as np
+
+    codes, outs = _run_pair(_free_port(), "/tmp", "wdm")
+    assert codes == [0, 0], outs
+
+    def parse(out):
+        for line in out.splitlines():
+            if "WDM ber=" in line:
+                parts = dict(p.split("=") for p in line.split()
+                             if "=" in p)
+                return (np.array([float(x) for x in
+                                  parts["ber"].split(",")]),
+                        np.array([float(x) for x in
+                                  parts["th"].split(",")]))
+        raise AssertionError(f"no WDM line in: {out}")
+
+    ber0, th0 = parse(outs[0])
+    ber1, th1 = parse(outs[1])
+    # both processes report the same (replicated) receiver scalars
+    np.testing.assert_array_equal(ber0, ber1)
+    np.testing.assert_array_equal(th0, th1)
+
+    # single-process reference: the identical program on this process's
+    # own 8 virtual devices (same global mesh shape -> same key stream)
+    import jax
+    from jax.sharding import Mesh
+
+    from opticomlib_tpu.link import (EDFASpec, FiberSpec, LinkSpec,
+                                     build_link)
+    from opticomlib_tpu.ops.prbs import prbs as _prbs
+    from opticomlib_tpu.params import SimParams
+
+    n_ch, n_bits, sps = 8, 256, 8
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("wdm", "time"))
+    params = SimParams.create(sps=sps, R=10e9, _warn=False)
+    spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=5,
+                    pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                    pd_BW=0.75 * 10e9,
+                    stages=(FiberSpec(length=50, alpha=0.2, beta_2=-21.0,
+                                      gamma=1.3, h=1.0),
+                            EDFASpec(G=10.0, NF=5.0)))
+    prog = build_link(spec, n_bits, params=params, mesh=mesh)
+    b, _ = _prbs(15, length=n_ch * n_bits)
+    bits = np.asarray(b.data, np.uint8).reshape(n_ch, n_bits)
+    sw = prog.dsp_wdm(n_ch, bits=bits, seed=5, nslots=n_bits)
+
+    np.testing.assert_array_equal(ber0, sw.ber)
+    np.testing.assert_allclose(th0, sw.threshold, rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_receiver_chain_kill_and_resume(tmp_path):
+    """Kill-and-resume through a checkpointed multi-span RECEIVER chain
+    (round-5): fiber (checkpointed, divergent crash) -> DBP -> decision,
+    across 2 real processes; the resumed chain's decisions are
+    bit-identical to an uninterrupted chain's and the BER is 0."""
+    ckpt = str(tmp_path / "ck")
+    ref = str(tmp_path / "ref")
+
+    codes, outs = _run_pair(_free_port(), ckpt, "rxcrash")
+    assert codes == [17, 17], outs
+
+    codes, outs = _run_pair(_free_port(), ckpt, "rxrun", ref)
+    assert codes == [0, 0], outs
+    for o in outs:
+        assert "OK rxchain ber=0.000000" in o, outs

@@ -691,3 +691,76 @@ def test_span_pipeline_stages_dm_and_attenuator(devices):
                                           stages=stages))
     scale = np.max(np.abs(f_out))
     assert np.max(np.abs(out - f_out)) < 2e-5 * scale
+
+
+# ------------------------------------------------- shard_method='auto'
+def test_resolve_shard_method_rules(monkeypatch):
+    """'auto' picks by the measured 2H/block crossover (CROSSOVER.json:
+    overlap never beat pencil on this mesh, so the measured threshold
+    is 0.0 and auto resolves to pencil whenever pencil is feasible).
+    A deployment-measured threshold (env override) re-enables overlap
+    for small halos."""
+    from opticomlib_tpu.parallel import fiber
+    from opticomlib_tpu.parallel.fiber import resolve_shard_method
+    from opticomlib_tpu.parallel.halo import halo_width
+
+    fs = 640e9
+    # adaptive always resolves to pencil (host-sync'd halo sizing)
+    assert resolve_shard_method(2**22, 8, None, -21.0, 0.0, fs,
+                                adaptive=True) == "pencil"
+    # measured threshold (0.0): fixed step resolves to pencil too
+    assert resolve_shard_method(2**22, 8, 0.5, -21.0, 0.0, fs) == \
+        "pencil"
+    # pencil-indivisible but overlap feasible -> overlap regardless
+    n_odd = 8 * 4100  # block = 4100, not divisible by 8
+    Ho = halo_width(0.01, -21.0, 0.0, fs)
+    assert 2 * Ho < n_odd // 8
+    assert resolve_shard_method(n_odd, 8, 0.01, -21.0, 0.0,
+                                fs) == "overlap"
+
+    # a slice-measured threshold (OPTICOMLIB_TPU_AUTO_HALO_FRAC)
+    # re-enables overlap below it
+    monkeypatch.setattr(fiber, "AUTO_HALO_FRAC", 0.25)
+    n = 2**22
+    H = halo_width(0.5, -21.0, 0.0, fs)
+    assert 2 * H / (n // 8) <= 0.25
+    assert resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs) == "overlap"
+    # halo dominating the block still picks pencil
+    n_small = 2**14
+    H5 = halo_width(5.0, -21.0, 0.0, fs)
+    assert 2 * H5 < n_small // 8
+    assert 2 * H5 / (n_small // 8) > 0.25
+    assert resolve_shard_method(n_small, 8, 5.0, -21.0, 0.0, fs) == \
+        "pencil"
+
+
+def test_ssfm_sharded_auto_matches_explicit(devices, monkeypatch):
+    """method='auto' produces the same field as the method it resolves
+    to, for both resolution outcomes (the overlap outcome via a
+    deployment threshold override)."""
+    import jax
+
+    from opticomlib_tpu.parallel import fiber
+    from opticomlib_tpu.parallel.fiber import (make_link_mesh,
+                                               resolve_shard_method,
+                                               ssfm_sharded)
+
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    n = 2**14
+    rng = np.random.default_rng(2)
+    A0 = ((rng.normal(size=n) + 1j * rng.normal(size=n))
+          .astype(np.complex64) * 0.05)
+    fs = 160e9
+    kw = dict(fs=fs, length=4.0, alpha=0.2, beta_2=-21.0, gamma=1.3,
+              h=0.5)
+    for frac in (0.0, 0.25):   # measured default / overridden
+        monkeypatch.setattr(fiber, "AUTO_HALO_FRAC", frac)
+        resolved = resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs)
+        a = np.asarray(ssfm_sharded(A0, mesh, method="auto", **kw))
+        b = np.asarray(ssfm_sharded(A0, mesh, method=resolved, **kw))
+        np.testing.assert_array_equal(a, b)
+    # both outcomes really were exercised
+    monkeypatch.setattr(fiber, "AUTO_HALO_FRAC", 0.0)
+    assert resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs) == "pencil"
+    monkeypatch.setattr(fiber, "AUTO_HALO_FRAC", 0.25)
+    assert resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs) == "overlap"

@@ -44,3 +44,19 @@ for tol in (1e-3, 1e-4):
     out, steps = ssfm.ssfm_local_error(A, w, L, tol=tol, **cfg)
     print(f"{'local error, tol=%.0e' % tol:<28}{3 * steps:>10}"
           f"{err(out):>14.2e}")
+for tol in (1e-4, 1e-6):
+    out = ssfm.ssfm_o4_auto(A, w, L, tol=tol, **cfg)
+    print(f"{'o4 auto,     tol=%.0e' % tol:<28}{'(self)':>10}"
+          f"{err(out):>14.2e}")
+
+# the self-tuning o4 is what FIBER(method="o4") / FiberSpec(method="o4")
+# run when no fixed h is given — no calibration script needed
+from opticomlib_tpu import gv
+from opticomlib_tpu.devices import DBP, FIBER
+from opticomlib_tpu.signals import OpticalSignal
+
+gv(sps=16, R=10e9, N=n // 16)
+fwd = FIBER(OpticalSignal(A), length=L, method="o4", tol=1e-5, **cfg)
+back = DBP(fwd, length=L, method="o4", tol=1e-5, **cfg)
+rt = float(np.linalg.norm(back.to_numpy() - A) / np.linalg.norm(A))
+print(f"\nFIBER/DBP method='o4' (self-tuning) round trip: {rt:.2e}")

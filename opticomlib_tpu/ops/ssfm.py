@@ -430,13 +430,25 @@ def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
 
     h_floor = length * jnp.float32(1.5e-7)
     max_steps = jnp.int32(400_000)
+    # saturation guard: when tol sits below the float32 noise floor of
+    # the step-doubling estimate, delta never drops under 2*tol no
+    # matter how small h gets — without a guard h collapses to h_floor
+    # and the loop hits the max_steps backstop mid-span, silently
+    # returning a partial propagation.  After `max_rejects` consecutive
+    # rejections the controller declares the estimate saturated: h is
+    # restored to its pre-collapse value and rejection is disabled for
+    # the rest of the run (fixed-step mode at the finest step the
+    # estimate could still resolve — the achievable-accuracy result).
+    max_rejects = 8
+    restore = jnp.float32(2.0 ** max_rejects)
+    max_rejects = jnp.int32(max_rejects)
 
     def cond(carry):
-        _, z, _, steps = carry
+        _, z, _, steps, _, _ = carry
         return jnp.logical_and(z < length, steps < max_steps)
 
     def body(carry):
-        A, z, h, steps = carry
+        A, z, h, steps, rejects, saturated = carry
         h = jnp.minimum(h, length - z)
         u_c = _o4_step(A, phi_w, alpha, h, gamma, spectral=spectral)
         u_f = _o4_step(_o4_step(A, phi_w, alpha, h / 2, gamma,
@@ -451,20 +463,30 @@ def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
         delta = jnp.sqrt(err2) / jnp.maximum(jnp.sqrt(ref2),
                                              jnp.float32(1e-30))
 
-        accept = jnp.logical_or(delta <= 2 * tol, h <= h_floor)
+        trip = jnp.logical_and(rejects >= max_rejects,
+                               jnp.logical_not(saturated))
+        accept = (delta <= 2 * tol) | (h <= h_floor) | saturated | trip
         A_new = (jnp.float32(16.0) * u_f - u_c) / jnp.float32(15.0)
         A = jnp.where(accept, A_new, A)
         z = jnp.where(accept, z + h, z)
+        rejects = jnp.where(accept, jnp.int32(0), rejects + 1)
+        saturated = saturated | trip
 
         h_next = jnp.where(
-            delta > 2 * tol, h / 2,
-            jnp.where(delta > tol, h / grow,
-                      jnp.where(delta < tol / 2, h * grow, h)))
+            accept,
+            jnp.where(trip, h * restore,          # undo the collapse
+                      jnp.where(saturated, h,     # fixed-step mode
+                                jnp.where(delta > tol, h / grow,
+                                          jnp.where(delta < tol / 2,
+                                                    h * grow, h)))),
+            h / 2)
         h_next = jnp.clip(h_next, h_floor, length)
-        return (A, z, h_next.astype(jnp.float32), steps + 1)
+        return (A, z, h_next.astype(jnp.float32), steps + 1, rejects,
+                saturated)
 
-    A, z, h, steps = jax.lax.while_loop(
-        cond, body, (A, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0)))
+    A, z, h, steps, _, _ = jax.lax.while_loop(
+        cond, body, (A, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0),
+                     jnp.int32(0), jnp.bool_(False)))
     return A, steps
 
 
@@ -553,13 +575,20 @@ def ssfm_local_error_inside(A, phi_w, length, gamma, tol, h0, alpha,
 
     h_floor = length * jnp.float32(1.5e-7)
     max_steps = jnp.int32(400_000)
+    # saturation guard (same as ssfm_o4_auto_inside): a tol below the
+    # float32 noise floor of the estimate must not collapse h and
+    # truncate the span — after max_rejects consecutive rejections,
+    # restore h and run fixed-step for the rest of the span
+    max_rejects = 8
+    restore = jnp.float32(2.0 ** max_rejects)
+    max_rejects = jnp.int32(max_rejects)
 
     def cond(carry):
-        _, z, _, steps = carry
+        _, z, _, steps, _, _ = carry
         return jnp.logical_and(z < length, steps < max_steps)
 
     def body(carry):
-        A, z, h, steps = carry
+        A, z, h, steps, rejects, saturated = carry
         h = jnp.minimum(h, length - z)
         u_c = _strang_step(A, phi_w, alpha, h, gamma, spectral=spectral)
         u_f = _strang_step(_strang_step(A, phi_w, alpha, h / 2, gamma,
@@ -574,20 +603,30 @@ def ssfm_local_error_inside(A, phi_w, length, gamma, tol, h0, alpha,
         delta = jnp.sqrt(err2) / jnp.maximum(jnp.sqrt(ref2),
                                              jnp.float32(1e-30))
 
-        accept = jnp.logical_or(delta <= 2 * tol, h <= h_floor)
+        trip = jnp.logical_and(rejects >= max_rejects,
+                               jnp.logical_not(saturated))
+        accept = (delta <= 2 * tol) | (h <= h_floor) | saturated | trip
         A_new = (jnp.float32(4.0) * u_f - u_c) / jnp.float32(3.0)
         A = jnp.where(accept, A_new, A)
         z = jnp.where(accept, z + h, z)
+        rejects = jnp.where(accept, jnp.int32(0), rejects + 1)
+        saturated = saturated | trip
 
         h_next = jnp.where(
-            delta > 2 * tol, h / 2,
-            jnp.where(delta > tol, h / grow,
-                      jnp.where(delta < tol / 2, h * grow, h)))
+            accept,
+            jnp.where(trip, h * restore,
+                      jnp.where(saturated, h,
+                                jnp.where(delta > tol, h / grow,
+                                          jnp.where(delta < tol / 2,
+                                                    h * grow, h)))),
+            h / 2)
         h_next = jnp.clip(h_next, h_floor, length)
-        return (A, z, h_next.astype(jnp.float32), steps + 1)
+        return (A, z, h_next.astype(jnp.float32), steps + 1, rejects,
+                saturated)
 
-    A, z, h, steps = jax.lax.while_loop(
-        cond, body, (A0, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0)))
+    A, z, h, steps, _, _ = jax.lax.while_loop(
+        cond, body, (A0, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0),
+                     jnp.int32(0), jnp.bool_(False)))
     return A, steps
 
 

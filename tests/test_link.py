@@ -240,3 +240,48 @@ def test_rin_boundary_staged_raises_fused_flags():
             raised = True
             break
     assert raised, "staged LASER never raised near the boundary"
+
+
+def test_matched_error_o4_decides_same_bits_in_noisy_regime():
+    """BER-level equal-accuracy evidence at a measurable error rate
+    (complements scripts/ber_equal_accuracy.py, whose real-chip sweep
+    sits at BER 0): same-noise reference-scheme vs matched-error o4
+    links in a thermal-noise-dominated regime with BER ~ 1e-2 must
+    produce near-identical decisions and statistically equal BER."""
+    from opticomlib_tpu.params import SimParams
+
+    sps, R_, n_bits = 16, 10e9, 4096
+    params = SimParams.create(sps=sps, R=R_, _warn=False)
+    kw = dict(length=50.0, alpha=0.2, beta_2=-21.0, gamma=1.3)
+
+    def build(method):
+        fib = (FiberSpec(phi_max=0.01, **kw) if method == "reference"
+               else FiberSpec(method="o4", h=2.0, **kw))
+        spec = LinkSpec(Vpp=5, offset=-2.5, bias=-2.5, Vpi=5, P0=-9.0,
+                        pulse_shape="gaussian", loss_dB=3, ER_dB=26,
+                        stages=(fib,), pd_BW=0.75 * R_,
+                        include_thermal=True, include_shot=False)
+        return build_link(spec, n_bits, params=params)
+
+    from opticomlib_tpu.ops.prbs import prbs as _prbs
+    bits, _ = _prbs(15, length=n_bits)
+    results = {}
+    for method in ("reference", "o4"):
+        prog = build(method)
+        d = prog.dsp(bits=bits, seed=3, nslots=n_bits)
+        r = prog.run(bits=bits, seed=3)
+        slots = np.asarray(r.slots.signal).real
+        results[method] = (d, (slots > d.threshold).astype(np.uint8))
+
+    d_ref, rx_ref = results["reference"]
+    d_o4, rx_o4 = results["o4"]
+    assert 1e-3 < d_ref.ber < 0.2, d_ref.ber  # really in the noisy regime
+    # near-identical decisions: scheme splitting error is far below the
+    # noise margins, so at most a sliver of threshold-straddlers differ
+    disagree = int(np.sum(rx_ref != rx_o4))
+    assert disagree <= n_bits * 0.01, disagree
+    # statistically equal BER (well inside the binomial CI)
+    p = d_ref.ber
+    ci = 3 * np.sqrt(p * (1 - p) / n_bits)
+    assert abs(d_o4.ber - d_ref.ber) <= max(ci, 3 / n_bits), \
+        (d_ref.ber, d_o4.ber)

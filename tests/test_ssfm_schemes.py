@@ -128,3 +128,18 @@ def test_fiber_o4_auto_dbp_roundtrip():
                method="o4", tol=1e-5)
     err = (np.linalg.norm(back.to_numpy() - x) / np.linalg.norm(x))
     assert err < 5e-3, err
+
+
+def test_adaptive_controllers_survive_saturated_tolerance(fine_reference):
+    """A tol below the float32 noise floor of the step-doubling estimate
+    must NOT truncate the span (round-5 fix: perpetual rejection used to
+    collapse h to h_floor and hit the max_steps backstop mid-span,
+    silently returning a partial propagation with ~0.9 relative error).
+    The saturation guard restores h and finishes fixed-step: the result
+    lands at the float32 accuracy floor."""
+    A, w, ref = fine_reference
+    out = ssfm.ssfm_o4_auto(A, w, L, tol=1e-8, **CFG)
+    assert _err(out, ref) < 5e-2
+    out2, steps = ssfm.ssfm_local_error(A, w, L, tol=1e-8, **CFG)
+    assert _err(out2, ref) < 5e-2
+    assert steps < 400_000

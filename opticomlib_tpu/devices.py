@@ -558,7 +558,10 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
     (and optionally ``'wdm'``) — the waveform's sample axis is sharded
     across the mesh and propagated by the multi-device solver
     (:func:`opticomlib_tpu.parallel.fiber.ssfm_sharded`), adaptive
-    (``h=None``, per-step all-reduce(max)) or fixed-step.
+    (``h=None``, per-step all-reduce(max)) or fixed-step.  All three
+    ``method`` schemes work on the mesh (round 5): the higher-order
+    schemes run on the pencil-FFT path with their error norms
+    all-reduced so every device agrees on the step sequence.
     ``shard_method`` selects ``'pencil'`` (exact distributed FFT),
     ``'overlap'`` (halo exchange; cheaper interconnect, approximate), or
     ``'auto'`` (pick by the measured ``2H/block`` crossover — see
@@ -609,10 +612,8 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
             "`method` must be 'reference', 'o4' or 'local_error'.")
 
     if mesh is not None:
-        if return_steps or method != "reference":
-            raise ValueError(
-                "mesh= supports only method='reference' without "
-                "return_steps")
+        if return_steps:
+            raise ValueError("mesh= does not support return_steps")
         from .parallel.fiber import shard_waveform, ssfm_sharded
 
         # keep the waveform DEVICE-RESIDENT across staged mesh calls: a
@@ -630,8 +631,11 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
             shard_waveform(A, mesh, wdm_axis), mesh, fs=gv.fs,
             length=float(length),
             alpha=float(alpha), beta_2=float(beta_2), beta_3=float(beta_3),
-            gamma=float(gamma), h=None if h is None else float(h),
-            phi_max=float(phi_max), method=shard_method, wdm_axis=wdm_axis)
+            gamma=float(gamma),
+            h=(None if (h is None or method == "local_error")
+               else float(h)),
+            phi_max=float(phi_max), method=shard_method, wdm_axis=wdm_axis,
+            scheme=method, tol=float(tol))
         output = OpticalSignal(out, n_pol=input.n_pol)
         output.execution_time = toc()
         return output

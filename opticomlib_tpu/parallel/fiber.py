@@ -212,8 +212,21 @@ def ssfm_sharded(
     wdm_axis: Optional[str] = "wdm",
     ckpt_dir: Optional[str] = None,
     segment_km: Optional[float] = None,
+    scheme: str = "reference",
+    tol: float = 1e-5,
 ):
     """Propagate a sharded waveform through ``length`` km of fiber.
+
+    ``scheme`` selects the splitting scheme (mirrors
+    ``devices.FIBER(method=)``): ``"reference"`` (default — the 2nd-order
+    frozen-operator step, phi_max-adaptive or fixed ``h``), ``"o4"``
+    (4th-order Yoshida: fixed-schedule with ``h``, self-tuning
+    step-doubling control at ``tol`` with ``h=None``), or
+    ``"local_error"`` (Sinkin adaptive stepping at ``tol``).  The
+    higher-order schemes run on the pencil-FFT path with their error
+    norms all-reduced over the mesh, so every device agrees on the step
+    sequence; they are not available with ``method='overlap'`` or
+    checkpointing.
 
     ``A``: (nsamples,) or (channels, nsamples) complex array (host or
     already device_put with the matching sharding).  Returns a sharded
@@ -246,6 +259,20 @@ def ssfm_sharded(
     method) — repeated calls with the same configuration re-trace
     nothing.
     """
+    if scheme not in ("reference", "o4", "local_error"):
+        raise ValueError(
+            "scheme must be 'reference', 'o4' or 'local_error'")
+    if scheme != "reference":
+        if ckpt_dir is not None:
+            raise ValueError(
+                f"scheme='{scheme}' does not support checkpointing yet "
+                "(use scheme='reference' with ckpt_dir)")
+        if method == "overlap":
+            raise ValueError(
+                f"scheme='{scheme}' needs the exact pencil-FFT path "
+                "(method='pencil' or 'auto'); the overlap halo width is "
+                "derived for the reference step")
+        method = "pencil"
     if ckpt_dir is not None:
         return _ssfm_sharded_resumable(
             A, mesh, fs, length, alpha, beta_2, beta_3, gamma, h,
@@ -299,6 +326,7 @@ def ssfm_sharded(
                  A.shape, method, float(fs), float(length), float(alpha),
                  float(beta_2), float(beta_3), float(gamma), h, adaptive,
                  float(phi_max), float(halo_safety), time_axis, wdm_axis,
+                 scheme, float(tol),
                  (round(float(h_for_halo), 9)
                   if method == "overlap" else None))
     prog = _prog_cache.get(cache_key)
@@ -335,6 +363,40 @@ def ssfm_sharded(
                     x, None, length, gamma, phi_max, h0, alpha_lin,
                     adaptive=True, reduce_max=reduce_max,
                     linear_step=linear_step)
+                return y
+        if scheme != "reference":
+            from ..ops.ssfm import (ssfm_local_error_inside,
+                                    ssfm_o4_auto_inside,
+                                    ssfm_o4_scan_inside)
+
+            alpha_lin = alpha_per_km(alpha)
+
+            def propagate(x, hs_in):  # noqa: F811 - scheme variants
+                q = jax.lax.axis_index(time_axis)
+                w = strided_w_grid(q, n_time, block, fs) * 1e-12
+                phi_q = (beta_2 / 2 * w**2
+                         + beta_3 / 6 * w**3).astype(jnp.float32)
+
+                def spectral(a, E):
+                    return pencil_ifft(pencil_fft(a, time_axis) * E,
+                                       time_axis)
+
+                def reduce_sum(s):
+                    for ax in axes:
+                        s = jax.lax.psum(s, ax)
+                    return s
+
+                if scheme == "o4" and h is not None:
+                    return ssfm_o4_scan_inside(
+                        x, phi_q, hs_in, jnp.float32(gamma),
+                        jnp.float32(alpha_lin), spectral=spectral)
+                fn = (ssfm_o4_auto_inside if scheme == "o4"
+                      else ssfm_local_error_inside)
+                y, _ = fn(x, phi_q, jnp.float32(length),
+                          jnp.float32(gamma), jnp.float32(tol),
+                          jnp.float32(length / 10.0),
+                          jnp.float32(alpha_lin),
+                          reduce_sum=reduce_sum, spectral=spectral)
                 return y
     elif method == "overlap":
         # adaptive mode: truncation error feeds back through the step

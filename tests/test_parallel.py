@@ -764,3 +764,76 @@ def test_ssfm_sharded_auto_matches_explicit(devices, monkeypatch):
     assert resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs) == "pencil"
     monkeypatch.setattr(fiber, "AUTO_HALO_FRAC", 0.25)
     assert resolve_shard_method(n, 8, 0.5, -21.0, 0.0, fs) == "overlap"
+
+
+def test_ssfm_sharded_schemes_match_unsharded(devices):
+    """scheme='o4' (fixed + self-tuning) and 'local_error' on the
+    sharded solver reproduce the single-device schemes (pencil FFT is
+    exact; the error-norm psum makes the step sequences identical up to
+    float32 rounding).  Round-5: FIBER(mesh=) no longer restricts
+    method='reference'."""
+    from opticomlib_tpu.ops import ssfm
+    from opticomlib_tpu.parallel.fiber import make_link_mesh, ssfm_sharded
+
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    n = 2**13
+    rng = np.random.default_rng(5)
+    A0 = ((rng.normal(size=n) + 1j * rng.normal(size=n))
+          .astype(np.complex64) * 0.05)
+    fs = 160e9
+    kw = dict(length=8.0, alpha=0.2, beta_2=-21.0, gamma=1.3)
+    w = 2 * np.pi * np.fft.fftfreq(n) * fs
+
+    cases = {
+        "o4_fixed": (dict(scheme="o4", h=0.5),
+                     lambda: ssfm.ssfm_scan_o4(A0, w, h=0.5, **kw)),
+        "o4_auto": (dict(scheme="o4", h=None, tol=1e-5),
+                    lambda: ssfm.ssfm_o4_auto(A0, w, tol=1e-5, **kw)),
+        "local_error": (dict(scheme="local_error", h=None, tol=1e-5),
+                        lambda: ssfm.ssfm_local_error(
+                            A0, w, tol=1e-5, h0=8.0 / 10, **kw)[0]),
+    }
+    for name, (skw, ref_fn) in cases.items():
+        out = np.asarray(ssfm_sharded(A0, mesh, fs=fs, **kw, **skw))
+        ref = ref_fn()
+        err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert err < 1e-4, (name, err)
+
+
+def test_fiber_mesh_accepts_new_methods(devices):
+    from opticomlib_tpu import gv
+    from opticomlib_tpu.devices import FIBER
+    from opticomlib_tpu.parallel.fiber import make_link_mesh
+    from opticomlib_tpu.signals import OpticalSignal
+
+    gv(sps=16, R=10e9, N=512)
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    rng = np.random.default_rng(1)
+    x = (0.1 * (rng.normal(size=gv.N * gv.sps)
+                + 1j * rng.normal(size=gv.N * gv.sps))).astype(np.complex64)
+    op = OpticalSignal(x)
+    for method, kw in (("o4", dict(tol=1e-5)),
+                       ("local_error", dict(tol=1e-5)),
+                       ("o4", dict(h=1.0))):
+        sharded = FIBER(op, length=8, alpha=0.2, beta_2=-21, gamma=1.3,
+                        method=method, mesh=mesh, **kw)
+        plain = FIBER(op, length=8, alpha=0.2, beta_2=-21, gamma=1.3,
+                      method=method, **kw)
+        a, b = sharded.to_numpy(), plain.to_numpy()
+        err = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert err < 1e-4, (method, kw, err)
+
+
+def test_ssfm_sharded_scheme_validation(devices):
+    from opticomlib_tpu.parallel.fiber import make_link_mesh, ssfm_sharded
+
+    mesh = make_link_mesh(n_wdm=1, n_time=8)
+    A0 = np.ones(2**12, np.complex64) * 0.1
+    with pytest.raises(ValueError, match="scheme"):
+        ssfm_sharded(A0, mesh, fs=1e11, length=5, scheme="rk4")
+    with pytest.raises(ValueError, match="pencil"):
+        ssfm_sharded(A0, mesh, fs=1e11, length=5, gamma=1.0,
+                     scheme="o4", method="overlap")
+    with pytest.raises(ValueError, match="checkpoint"):
+        ssfm_sharded(A0, mesh, fs=1e11, length=5, gamma=1.0,
+                     scheme="o4", ckpt_dir="/tmp/nope")

@@ -631,9 +631,7 @@ def FIBER(input: OpticalSignal, length: float, alpha: float = 0.0,
             shard_waveform(A, mesh, wdm_axis), mesh, fs=gv.fs,
             length=float(length),
             alpha=float(alpha), beta_2=float(beta_2), beta_3=float(beta_3),
-            gamma=float(gamma),
-            h=(None if (h is None or method == "local_error")
-               else float(h)),
+            gamma=float(gamma), h=None if h is None else float(h),
             phi_max=float(phi_max), method=shard_method, wdm_axis=wdm_axis,
             scheme=method, tol=float(tol))
         output = OpticalSignal(out, n_pol=input.n_pol)

@@ -85,6 +85,18 @@ __all__ = ["FiberSpec", "DBPSpec", "EDFASpec", "DMSpec", "BPFSpec",
 _EYE_TRACE_KEYS = ("y", "t", "y_top", "y_bot", "y_25_75")
 
 
+def _adc_quantize(v, bits: int):
+    """In-graph ADC: uniform quantization over the robust 99.99%
+    shortest-interval range (reference devices.py:1616-1627; the range
+    estimator is the device twin of ``utils.analysis.shortest_int``).
+    Shared by the fused and pipelined link builders so the operator
+    cannot drift between paths."""
+    lo, hi = _shortest_int_masked(v, jnp.ones(v.shape, bool), 99.99)
+    nq = jnp.float32(2 ** int(bits) - 1)
+    code = jnp.round((v - lo) / (hi - lo) * nq)
+    return code / nq * (hi - lo) + lo
+
+
 def _ook_rx_ingraph(v, slots, bits_f32, sps, nslots, sps_resamp,
                     trace_keys=_EYE_TRACE_KEYS):
     """In-graph OOK receiver: GET_EYE reductions -> THRESHOLD_EST ->
@@ -725,15 +737,7 @@ class LinkProgram:
             v = jnp.fft.ifft(jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
                              * consts["H2_pd"]).real
             if spec.adc_bits is not None:
-                # in-graph ADC: uniform quantization over the robust
-                # 99.99% shortest-interval range (reference
-                # devices.py:1616-1627); the range estimator is the
-                # device twin of utils.analysis.shortest_int
-                lo, hi = _shortest_int_masked(
-                    v, jnp.ones(v.shape, bool), 99.99)
-                nq = jnp.float32(2 ** int(spec.adc_bits) - 1)
-                code = jnp.round((v - lo) / (hi - lo) * nq)
-                v = code / nq * (hi - lo) + lo
+                v = _adc_quantize(v, int(spec.adc_bits))
             out = (v, v[instant::sps])
             if return_field:
                 out = out + (field.real, field.imag)
@@ -972,24 +976,31 @@ class LinkProgram:
             sps = self.params.sps
 
             def prog(slots_f32, info_bits_f32, seed_u32, consts):
-                v, slot_samp = self.fn(slots_f32, seed_u32, consts)[:2]
+                full = self.fn(slots_f32, seed_u32, consts)
+                v, slot_samp = full[:2]
                 if decision == "soft":
                     pos = sdd_positions_jax(slot_samp, M)
                     rx_bits = positions_to_bits_jax(pos, M)
                     n_err = jnp.sum(
                         rx_bits != info_bits_f32.astype(jnp.uint8))
-                    return {}, jnp.nan, n_err
-                return _ppm_hard_rx_ingraph(v, slot_samp, info_bits_f32,
-                                            M, sps, nslots, sps_resamp,
-                                            seed_u32)
+                    return {}, jnp.nan, n_err, full[-1]
+                return _ppm_hard_rx_ingraph(
+                    v, slot_samp, info_bits_f32, M, sps, nslots,
+                    sps_resamp, seed_u32) + (full[-1],)
 
             cache[key] = jax.jit(prog)
 
-        m, rth, n_err = jax.device_get(cache[key](
+        m, rth, n_err, rin_ok = jax.device_get(cache[key](
             jnp.asarray(slots_tx.to_numpy(np.float32)),
             jnp.asarray(tx.to_numpy(np.float32)),
             jnp.uint32(seed), self.consts))
         n_err = int(n_err)
+        if float(rin_ok) == 0.0:
+            warnings.warn(
+                "a RIN draw crossed -1 for this seed and was clamped to "
+                "dark (the staged LASER raises here, reference "
+                "devices.py:492-500); decrease `rin` or change the seed.",
+                RuntimeWarning, stacklevel=2)
         eye_obj = None
         if m:
             out = {kk: (vv.item() if isinstance(vv, np.ndarray)
@@ -1003,7 +1014,8 @@ class LinkProgram:
         return SimpleNamespace(
             ber=n_err / tx.size, n_errors=n_err,
             threshold=(None if np.isnan(rth) else rth),
-            eye=eye_obj, tx=tx, slots_tx=slots_tx, M=M, decision=decision)
+            eye=eye_obj, tx=tx, slots_tx=slots_tx, M=M, decision=decision,
+            rin_ok=bool(float(rin_ok)))
 
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
                 prbs_order: int = 15, nslots: int = 8192,
@@ -1050,11 +1062,12 @@ class LinkProgram:
             sps = self.params.sps
 
             def one(bits_c, seed_c, consts):
-                v, slots = self.fn(bits_c, seed_c, consts)[:2]
+                full = self.fn(bits_c, seed_c, consts)
+                v, slots = full[:2]
                 m, rth, n_err = _ook_rx_ingraph(v, slots, bits_c, sps,
                                                 nslots, sps_resamp)
                 return (m["mu0"], m["mu1"], m["s0"], m["s1"], m["er"],
-                        m["eye_h"], rth, n_err)
+                        m["eye_h"], rth, n_err, full[-1])
 
             cache[key] = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
 
@@ -1067,14 +1080,23 @@ class LinkProgram:
                 bits_dev, NamedSharding(mesh, P(axis, None)))
             seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
 
-        mu0, mu1, s0, s1, er, eye_h, rth, n_err = (
+        mu0, mu1, s0, s1, er, eye_h, rth, n_err, rin_ok = (
             np.asarray(a) for a in jax.device_get(
                 cache[key](bits_dev, seeds, self.consts)))
         n_err = n_err.astype(np.int64)
+        rin_ok = rin_ok > 0
+        if not rin_ok.all():
+            bad = np.flatnonzero(~rin_ok)
+            warnings.warn(
+                f"RIN draws crossed -1 and were clamped on channel(s) "
+                f"{bad.tolist()} (the staged LASER raises here, "
+                "reference devices.py:492-500); decrease `rin` or "
+                "change the seed.", RuntimeWarning, stacklevel=2)
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err, threshold=rth,
             mu0=mu0, mu1=mu1, s0=s0, s1=s1, er=er, eye_h=eye_h,
-            n_channels=n_channels, tx=bits.astype(np.uint8))
+            n_channels=n_channels, tx=bits.astype(np.uint8),
+            rin_ok=rin_ok)
 
     def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
                     bits=None, seed: int = 0, prbs_order: int = 15,
@@ -1136,16 +1158,17 @@ class LinkProgram:
             sps = self.params.sps
 
             def one(slots_c, info_c, seed_c, consts):
-                v, slot_samp = self.fn(slots_c, seed_c, consts)[:2]
+                full = self.fn(slots_c, seed_c, consts)
+                v, slot_samp = full[:2]
                 if decision == "soft":
                     pos = sdd_positions_jax(slot_samp, M)
                     rx_bits = positions_to_bits_jax(pos, M)
                     n_err = jnp.sum(rx_bits != info_c.astype(jnp.uint8))
-                    return jnp.nan, n_err
+                    return jnp.nan, n_err, full[-1]
                 _, rth, n_err = _ppm_hard_rx_ingraph(
                     v, slot_samp, info_c, M, sps, nslots, sps_resamp,
                     seed_c)
-                return rth, n_err
+                return rth, n_err, full[-1]
 
             cache[key] = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
 
@@ -1161,11 +1184,19 @@ class LinkProgram:
                 info_dev, NamedSharding(mesh, P(axis, None)))
             seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
 
-        rth, n_err = jax.device_get(
+        rth, n_err, rin_ok = jax.device_get(
             cache[key](slots_dev, info_dev, seeds, self.consts))
         n_err = np.asarray(n_err).astype(np.int64)
         rth = np.asarray(rth, np.float64)
+        rin_ok = np.asarray(rin_ok) > 0
+        if not rin_ok.all():
+            warnings.warn(
+                f"RIN draws crossed -1 and were clamped on channel(s) "
+                f"{np.flatnonzero(~rin_ok).tolist()} (the staged LASER "
+                "raises here, reference devices.py:492-500); decrease "
+                "`rin` or change the seed.", RuntimeWarning, stacklevel=2)
         return SimpleNamespace(
+            rin_ok=rin_ok,
             ber=n_err / (n_sym * k), n_errors=n_err, M=M,
             decision=decision, n_channels=n_channels,
             threshold=(None if np.isnan(rth).all() else rth),

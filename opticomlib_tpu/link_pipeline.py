@@ -41,8 +41,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.constants import e, k as kB
 
-from .link import (LinkProgram, LinkSpec, _ook_rx_ingraph,
-                   _ppm_hard_rx_ingraph, _shortest_int_masked)
+from .link import (LinkProgram, LinkSpec, _adc_quantize, _ook_rx_ingraph,
+                   _ppm_hard_rx_ingraph)
 from .params import SimParams
 from .parallel.pipeline import pipeline_stages_core
 
@@ -142,15 +142,9 @@ class PipelinedLinkProgram:
                     jnp.fft.fft(i * jnp.float32(spec.pd_R_load))
                     * consts["H2_pd"]).real
                 if spec.adc_bits is not None:
-                    # in-graph ADC: uniform quantization over the robust
-                    # 99.99% shortest-interval range, channel-local —
-                    # same operator as the fused link (reference
-                    # devices.py:1616-1627)
-                    lo, hi = _shortest_int_masked(
-                        v, jnp.ones(v.shape, bool), 99.99)
-                    nq = jnp.float32(2 ** int(spec.adc_bits) - 1)
-                    code = jnp.round((v - lo) / (hi - lo) * nq)
-                    v = code / nq * (hi - lo) + lo
+                    # channel-local, same shared operator as the fused
+                    # link (link._adc_quantize)
+                    v = _adc_quantize(v, int(spec.adc_bits))
                 return rx_one(v, v[instant::sps], info_c, seed_c)
 
             return jax.vmap(rx_front, in_axes=(0, 0, 0))(f, info, seeds)

@@ -340,10 +340,15 @@ class ShardedLinkProgram:
             if has_df:
                 phase = phase + consts_blk["df_phase"]
             amp = jnp.full((lc, 1), P0_amp, jnp.float32)
+            rin_ok = jnp.ones((lc,), jnp.float32)
             if sigma_rin > 0:
                 rin = _draw_v(_fold_v(k_rin, q), (block,), sigma_rin)
                 # clamp 1+rin at 0: a tail draw past -1 darkens one sample
-                # instead of NaN-ing the chain (same guard as link.py)
+                # instead of NaN-ing the chain (same guard as link.py);
+                # the per-channel validity flag travels with the outputs
+                # (pmin over the time groups -> every device agrees)
+                rin_ok = (jax.lax.pmin(jnp.min(rin, axis=-1), t_ax)
+                          > -1.0).astype(jnp.float32)
                 amp = amp * jnp.sqrt(jnp.maximum(1 + rin, 0.0))
             if sigma_ph > 0 or has_df:
                 E = amp * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
@@ -505,7 +510,9 @@ class ShardedLinkProgram:
             out = (v, v[..., instant::sps])
             if return_field_flag:
                 out = out + (field.real, field.imag)  # (lc[,2],block)
-            return out
+            # trailing diagnostics, same contract as LinkProgram.fn:
+            # rin_ok[c] == 0 marks a clamped RIN draw on channel c
+            return out + (rin_ok,)
 
         # ------------------------------------------------------------------
         # jit wrapper: shard_map core + sharded input placement
@@ -524,7 +531,8 @@ class ShardedLinkProgram:
         two_pol = _has_ase(spec.stages)
         field_sp = (P(*(in_bits[0], None, t_ax)) if two_pol else in_bits)
         out_sp = (in_bits, in_bits) + ((field_sp, field_sp)
-                                       if return_field else ())
+                                       if return_field else ()) \
+            + (in_seeds,)  # rin_ok: (lc,) channel-sharded flags
 
         core_sharded = shard_map(
             core, mesh=mesh,
@@ -598,7 +606,8 @@ class ShardedLinkProgram:
                 else P(None, None)
 
             def prog(bits, seeds, consts):
-                v, slots = self.fn(bits, seeds, consts)[:2]
+                full = self.fn(bits, seeds, consts)
+                v, slots = full[:2]
                 # eye metrology on a small gathered window + in-graph
                 # THRESHOLD_EST + slicer + error count (the same
                 # receiver as the unsharded LinkProgram.dsp).  The
@@ -620,7 +629,7 @@ class ShardedLinkProgram:
                 rep = NamedSharding(self.mesh, P())
                 return jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, rep),
-                    (m, rth, n_err))
+                    (m, rth, n_err, full[-1]))
 
             self._dsp_cache[key] = jax.jit(prog)
         return self._dsp_cache[key]
@@ -650,7 +659,8 @@ class ShardedLinkProgram:
         eye_kw["dt"] = 1.0 / self.params.fs
         return SimpleNamespace(
             ber=float(r.ber[0]), n_errors=int(r.n_errors[0]),
-            threshold=float(r.threshold[0]), eye=Eye(eye_kw), tx=r.tx[0])
+            threshold=float(r.threshold[0]), eye=Eye(eye_kw), tx=r.tx[0],
+            rin_ok=bool(r.rin_ok[0]))
 
     def dsp_wdm_ppm(self, n_channels: int, M: int, decision: str = "soft",
                     bits=None, seed: int = 0, prbs_order: int = 15,
@@ -776,11 +786,21 @@ class ShardedLinkProgram:
         seeds = np.arange(n_channels, dtype=np.uint32) + np.uint32(seed)
         prog = self._dsp_program(n_channels, nslots, sps_resamp)
         bits_d, seeds_d = self._place(bits.astype(np.float32), seeds)
-        m, rth, n_err = jax.device_get(prog(bits_d, seeds_d, self.consts))
+        m, rth, n_err, rin_ok = jax.device_get(
+            prog(bits_d, seeds_d, self.consts))
         n_err = np.asarray(n_err).astype(np.int64)
+        rin_ok = np.asarray(rin_ok) > 0
+        if not rin_ok.all():
+            import warnings
+            warnings.warn(
+                f"RIN draws crossed -1 and were clamped on channel(s) "
+                f"{np.flatnonzero(~rin_ok).tolist()} (the staged LASER "
+                "raises here, reference devices.py:492-500); decrease "
+                "`rin` or change the seed.", RuntimeWarning, stacklevel=2)
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err,
             threshold=np.asarray(rth),
             mu0=m["mu0"], mu1=m["mu1"], s0=m["s0"], s1=m["s1"],
             er=m["er"], eye_h=m["eye_h"], eye_fields=m,
-            n_channels=n_channels, tx=bits.astype(np.uint8))
+            n_channels=n_channels, tx=bits.astype(np.uint8),
+            rin_ok=rin_ok)

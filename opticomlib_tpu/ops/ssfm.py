@@ -423,37 +423,71 @@ def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
     ``(A, n_attempted_steps)``.
     """
     alpha = jnp.float32(alpha)
-    length = jnp.float32(length)
     gamma = jnp.float32(gamma)
-    tol = jnp.float32(tol)
-    grow = jnp.float32(2.0 ** (1.0 / 5.0))
 
-    h_floor = length * jnp.float32(1.5e-7)
-    max_steps = jnp.int32(400_000)
-    # saturation guard: when tol sits below the float32 noise floor of
-    # the step-doubling estimate, delta never drops under 2*tol no
-    # matter how small h gets — without a guard h collapses to h_floor
-    # and the loop hits the max_steps backstop mid-span, silently
-    # returning a partial propagation.  After `max_rejects` consecutive
-    # rejections the controller declares the estimate saturated: h is
-    # restored to its pre-collapse value and rejection is disabled for
-    # the rest of the run (fixed-step mode at the finest step the
-    # estimate could still resolve — the achievable-accuracy result).
-    max_rejects = 8
-    restore = jnp.float32(2.0 ** max_rejects)
-    max_rejects = jnp.int32(max_rejects)
-
-    def cond(carry):
-        _, z, _, steps, _, _ = carry
-        return jnp.logical_and(z < length, steps < max_steps)
-
-    def body(carry):
-        A, z, h, steps, rejects, saturated = carry
-        h = jnp.minimum(h, length - z)
+    def attempt(A, h):
         u_c = _o4_step(A, phi_w, alpha, h, gamma, spectral=spectral)
         u_f = _o4_step(_o4_step(A, phi_w, alpha, h / 2, gamma,
                                 spectral=spectral),
                        phi_w, alpha, h / 2, gamma, spectral=spectral)
+        return u_c, u_f
+
+    return _step_doubling_controller(
+        A, length, h0, tol, attempt, rich_num=16.0, rich_den=15.0,
+        grow=2.0 ** (1.0 / 5.0), reduce_sum=reduce_sum)
+
+
+def _step_doubling_controller(A, length, h0, tol, attempt, rich_num,
+                              rich_den, grow, reduce_sum=None):
+    """Shared step-doubling local-error controller for the self-tuning
+    schemes (o4-auto and local_error differ only in their stepper, the
+    Richardson coefficients and the growth exponent).
+
+    ``attempt(A, h) -> (u_c, u_f)``: one coarse step and two fine
+    half-steps; relative local error ``delta = ||u_f - u_c||/||u_f||``;
+    the accepted solution is ``(rich_num*u_f - u_c)/rich_den``:
+
+      delta > 2 tol        -> discard, halve h
+      tol < delta <= 2 tol -> accept, h /= grow
+      delta < tol/2        -> accept, h *= grow
+
+    **Saturation guard** (round-5 + review fix): when ``tol`` sits
+    below the float32 noise floor of the step-doubling estimate, delta
+    stops responding to h entirely — an unguarded controller halves h
+    to h_floor and hits the max_steps backstop mid-span, silently
+    returning a partial propagation.  The guard counts only
+    *non-improving* consecutive rejections (a genuinely-too-coarse
+    first step keeps improving ~2^order per halving and must NOT trip
+    it — with the default h0 = length/10 on a long dispersive span the
+    first cascade is long but productive): after ``max_rejects``
+    plateau halvings the estimate is declared saturated, h is restored
+    to where the plateau began, and rejection is disabled for the rest
+    of the span (fixed-step at the finest step the estimate resolves —
+    the achievable-accuracy result).
+    """
+    length = jnp.float32(length)
+    tol = jnp.float32(tol)
+    grow = jnp.float32(grow)
+    rich_num = jnp.float32(rich_num)
+    rich_den = jnp.float32(rich_den)
+
+    h_floor = length * jnp.float32(1.5e-7)
+    max_steps = jnp.int32(400_000)
+    max_rejects = 8
+    restore = jnp.float32(2.0 ** max_rejects)
+    max_rejects = jnp.int32(max_rejects)
+    # a halving of a converging order-p scheme cuts delta ~2^p (p>=3);
+    # anything failing to improve by 30% is plateau noise
+    improve_factor = jnp.float32(0.7)
+
+    def cond(carry):
+        _, z, _, steps, _, _, _ = carry
+        return jnp.logical_and(z < length, steps < max_steps)
+
+    def body(carry):
+        A, z, h, steps, rejects, saturated, delta_prev = carry
+        h = jnp.minimum(h, length - z)
+        u_c, u_f = attempt(A, h)
         diff = u_f - u_c
         err2 = jnp.sum(diff.real**2 + diff.imag**2)
         ref2 = jnp.sum(u_f.real**2 + u_f.imag**2)
@@ -466,15 +500,19 @@ def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
         trip = jnp.logical_and(rejects >= max_rejects,
                                jnp.logical_not(saturated))
         accept = (delta <= 2 * tol) | (h <= h_floor) | saturated | trip
-        A_new = (jnp.float32(16.0) * u_f - u_c) / jnp.float32(15.0)
+        A_new = (rich_num * u_f - u_c) / rich_den
         A = jnp.where(accept, A_new, A)
         z = jnp.where(accept, z + h, z)
-        rejects = jnp.where(accept, jnp.int32(0), rejects + 1)
+        improving = delta < delta_prev * improve_factor
+        rejects = jnp.where(accept, jnp.int32(0),
+                            jnp.where(improving, jnp.int32(1),
+                                      rejects + 1))
+        delta_prev = jnp.where(accept, jnp.float32(jnp.inf), delta)
         saturated = saturated | trip
 
         h_next = jnp.where(
             accept,
-            jnp.where(trip, h * restore,          # undo the collapse
+            jnp.where(trip, h * restore,          # undo plateau halvings
                       jnp.where(saturated, h,     # fixed-step mode
                                 jnp.where(delta > tol, h / grow,
                                           jnp.where(delta < tol / 2,
@@ -482,11 +520,11 @@ def ssfm_o4_auto_inside(A, phi_w, length, gamma, tol, h0, alpha,
             h / 2)
         h_next = jnp.clip(h_next, h_floor, length)
         return (A, z, h_next.astype(jnp.float32), steps + 1, rejects,
-                saturated)
+                saturated, delta_prev)
 
-    A, z, h, steps, _, _ = jax.lax.while_loop(
+    A, z, h, steps, _, _, _ = jax.lax.while_loop(
         cond, body, (A, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0),
-                     jnp.int32(0), jnp.bool_(False)))
+                     jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf)))
     return A, steps
 
 
@@ -565,69 +603,24 @@ def ssfm_local_error_inside(A, phi_w, length, gamma, tol, h0, alpha,
     partial sums (e.g. ``lambda s: jax.lax.psum(s, 'time')`` inside
     shard_map) so the error control sees the GLOBAL norm on a sharded
     waveform.  Returns ``(A, n_attempted_steps)``.
+
+    Shares the step controller (including the saturation guard) with
+    :func:`ssfm_o4_auto_inside` — see
+    :func:`_step_doubling_controller`.
     """
-    A0 = A
     alpha = jnp.float32(alpha)
-    length = jnp.float32(length)
     gamma = jnp.float32(gamma)
-    tol = jnp.float32(tol)
-    grow = jnp.float32(2.0 ** (1.0 / 3.0))
 
-    h_floor = length * jnp.float32(1.5e-7)
-    max_steps = jnp.int32(400_000)
-    # saturation guard (same as ssfm_o4_auto_inside): a tol below the
-    # float32 noise floor of the estimate must not collapse h and
-    # truncate the span — after max_rejects consecutive rejections,
-    # restore h and run fixed-step for the rest of the span
-    max_rejects = 8
-    restore = jnp.float32(2.0 ** max_rejects)
-    max_rejects = jnp.int32(max_rejects)
-
-    def cond(carry):
-        _, z, _, steps, _, _ = carry
-        return jnp.logical_and(z < length, steps < max_steps)
-
-    def body(carry):
-        A, z, h, steps, rejects, saturated = carry
-        h = jnp.minimum(h, length - z)
+    def attempt(A, h):
         u_c = _strang_step(A, phi_w, alpha, h, gamma, spectral=spectral)
         u_f = _strang_step(_strang_step(A, phi_w, alpha, h / 2, gamma,
                                         spectral=spectral),
                            phi_w, alpha, h / 2, gamma, spectral=spectral)
-        diff = u_f - u_c
-        err2 = jnp.sum(diff.real**2 + diff.imag**2)
-        ref2 = jnp.sum(u_f.real**2 + u_f.imag**2)
-        if reduce_sum is not None:
-            err2 = reduce_sum(err2)
-            ref2 = reduce_sum(ref2)
-        delta = jnp.sqrt(err2) / jnp.maximum(jnp.sqrt(ref2),
-                                             jnp.float32(1e-30))
+        return u_c, u_f
 
-        trip = jnp.logical_and(rejects >= max_rejects,
-                               jnp.logical_not(saturated))
-        accept = (delta <= 2 * tol) | (h <= h_floor) | saturated | trip
-        A_new = (jnp.float32(4.0) * u_f - u_c) / jnp.float32(3.0)
-        A = jnp.where(accept, A_new, A)
-        z = jnp.where(accept, z + h, z)
-        rejects = jnp.where(accept, jnp.int32(0), rejects + 1)
-        saturated = saturated | trip
-
-        h_next = jnp.where(
-            accept,
-            jnp.where(trip, h * restore,
-                      jnp.where(saturated, h,
-                                jnp.where(delta > tol, h / grow,
-                                          jnp.where(delta < tol / 2,
-                                                    h * grow, h)))),
-            h / 2)
-        h_next = jnp.clip(h_next, h_floor, length)
-        return (A, z, h_next.astype(jnp.float32), steps + 1, rejects,
-                saturated)
-
-    A, z, h, steps, _, _ = jax.lax.while_loop(
-        cond, body, (A0, jnp.float32(0.0), jnp.float32(h0), jnp.int32(0),
-                     jnp.int32(0), jnp.bool_(False)))
-    return A, steps
+    return _step_doubling_controller(
+        A, length, h0, tol, attempt, rich_num=4.0, rich_den=3.0,
+        grow=2.0 ** (1.0 / 3.0), reduce_sum=reduce_sum)
 
 
 @jax.jit

@@ -392,10 +392,14 @@ def ssfm_sharded(
                         jnp.float32(alpha_lin), spectral=spectral)
                 fn = (ssfm_o4_auto_inside if scheme == "o4"
                       else ssfm_local_error_inside)
+                # a user-supplied h acts as the initial step h0, same
+                # as the unsharded ssfm_local_error (review fix: it was
+                # silently dropped on the mesh path)
+                h0 = min(float(h), float(length)) if h is not None \
+                    else float(length) / 10.0
                 y, _ = fn(x, phi_q, jnp.float32(length),
                           jnp.float32(gamma), jnp.float32(tol),
-                          jnp.float32(length / 10.0),
-                          jnp.float32(alpha_lin),
+                          jnp.float32(h0), jnp.float32(alpha_lin),
                           reduce_sum=reduce_sum, spectral=spectral)
                 return y
     elif method == "overlap":

@@ -605,11 +605,17 @@ def pipeline_stages_core(mesh: Mesh, fs: float, stages, n: int, B: int,
                                                                dr[2:])
             if has_h2:
                 # per-stage zero-phase |H|^2 (EDFA BW / BPF stages),
-                # applied after gain+ASE exactly like the fused builder
+                # applied after gain+ASE exactly like the fused builder.
+                # lax.cond (not compute+where) so segments WITHOUT a
+                # response skip the FFT pair entirely (review fix)
                 idx = h2_idx_vec[s]
-                H2 = jnp.take(h2_bank_j, jnp.maximum(idx, 0), axis=0)
-                y = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * H2, axis=-1)
-                x = jnp.where(idx >= 0, y, x)
+                x = jax.lax.cond(
+                    idx >= 0,
+                    lambda x: jnp.fft.ifft(
+                        jnp.fft.fft(x, axis=-1)
+                        * jnp.take(h2_bank_j, jnp.maximum(idx, 0),
+                                   axis=0), axis=-1),
+                    lambda x: x, x)
             return x
 
         return jax.lax.fori_loop(0, K, seg, x)

@@ -5,9 +5,9 @@ cost arithmetic, not measurement).
 Benches ``ssfm_sharded`` with both ``shard_method``s on the 8-virtual-
 device CPU mesh at n in {2^20, 2^22, 2^24} for two physics shapes:
 
-* config-2-like: 50 km, h=1.0 (small per-step halo), and
-* config-4-span-like: 80 km, h=0.5, 2x dispersion per unit length
-  scaled by fs (larger relative halo).
+* config-2-like: h=1.0 (halo ~109 samples/side), and
+* config-4-span-like: h=0.5 — the halo scales linearly with h, so this
+  is the SMALLER-halo shape (~55/side) with ~3x the step count.
 
 The relevant structural quantity is ``2H / block``: overlap-save does a
 local FFT of ``block + 2H`` samples per device per step (plus 2 ppermute

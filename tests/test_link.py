@@ -228,6 +228,12 @@ def test_rin_boundary_staged_raises_fused_flags():
         d_ok = prog.dsp(seed=clean, nslots=n_bits)
     assert d_ok.rin_ok is True
 
+    # multi-channel paths surface the flag per channel (review fix)
+    with pytest.warns(RuntimeWarning, match="channel"):
+        sw = prog.dsp_wdm(2, seed=crossing, nslots=n_bits)
+    assert sw.rin_ok.shape == (2,)
+    assert not sw.rin_ok[0]
+
     # staged: the SAME physics near the boundary raises on an actual
     # crossing draw (scan keyed seeds like the fused scan above)
     gv(sps=sps, R=R_, N=n_bits)

@@ -270,8 +270,12 @@ def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
 
     key = rng.resolve(key)
     if key is not None:
-        with _backend.route(t.size) as scope:
-            k_ph, k_rin = jax.random.split(scope.put(key))
+        # split on CPU (key math is backend-invariant and a remote
+        # compile round trip for it is pure waste); the draw kernels
+        # move the subkeys to their compute device (ops/noise.py)
+        cpu = _backend.RouteScope(_backend.cpu_device())
+        with cpu:
+            k_ph, k_rin = jax.random.split(cpu.put(key))
 
     if lw is not None:
         # lw == 0 still consumes t.size draws (zero-variance walk), keeping
@@ -841,8 +845,9 @@ def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
 
     key = rng.resolve(key)
     if key is not None:
-        with _backend.route(input.size) as scope:
-            k_T, k_N = jax.random.split(scope.put(key))
+        cpu = _backend.RouteScope(_backend.cpu_device())
+        with cpu:
+            k_T, k_N = jax.random.split(cpu.put(key))
 
     i_T = i_N = None
     if "thermal" in include_noise or include_noise == "all":

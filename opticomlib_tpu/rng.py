@@ -22,6 +22,7 @@ Three ways to get keyed noise, in precedence order:
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Union
 
 import jax
@@ -34,10 +35,25 @@ KeyLike = Union[int, jax.Array]
 _stream: Optional[jax.Array] = None
 
 
+def _cpu_scope():
+    """Key creation/splitting runs on the in-process CPU backend when one
+    is available: keys are tiny, the host-side stream feeds only the
+    staged devices (the fused programs derive keys in-graph from a
+    traced seed), and on a remote accelerator runtime even the trivial
+    key programs pay a multi-second cold compile round trip.  Large
+    keyed draws still run on the accelerator — the noise kernels move
+    the key to their compute device (runtime/backend.RouteScope.put)."""
+    from .runtime import backend as _backend
+    dev = _backend.cpu_device()
+    return (jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext())
+
+
 def seed(n: int) -> None:
     """Seed the global key stream (also reachable as ``gv(seed=n)``)."""
     global _stream
-    _stream = jax.random.key(int(n))
+    with _cpu_scope():
+        _stream = jax.random.key(int(n))
 
 
 def clear() -> None:
@@ -56,7 +72,8 @@ def next_key() -> jax.Array:
     if _stream is None:
         raise RuntimeError(
             "global RNG stream not seeded; call rng.seed(n) or gv(seed=n)")
-    _stream, sub = jax.random.split(_stream)
+    with _cpu_scope():
+        _stream, sub = jax.random.split(_stream)
     return sub
 
 
@@ -67,7 +84,8 @@ def as_key(key: KeyLike) -> jax.Array:
     a NumPy integer passed through untouched would hit jax.random.split
     with a 'not a PRNG key' error far from the caller."""
     if isinstance(key, (int, np.integer)):
-        return jax.random.key(int(key))
+        with _cpu_scope():
+            return jax.random.key(int(key))
     return key
 
 

@@ -43,7 +43,7 @@ from typing import Optional
 import jax
 
 __all__ = ["small_op_threshold", "set_small_op_threshold", "route",
-           "DEFAULT_SMALL_OP_THRESHOLD"]
+           "cpu_device", "RouteScope", "DEFAULT_SMALL_OP_THRESHOLD"]
 
 DEFAULT_SMALL_OP_THRESHOLD = 1 << 20  # samples
 
@@ -72,7 +72,7 @@ def set_small_op_threshold(n: Optional[int]) -> None:
     _threshold = None if n is None else int(n)
 
 
-def _cpu():
+def cpu_device():
     """The in-process CPU device, or None when there is nothing to route
     to (CPU is already the default backend, or no CPU backend exists)."""
     global _cpu_device
@@ -145,4 +145,4 @@ def route(n_samples: int, *payloads) -> RouteScope:
     for p in payloads:
         if isinstance(p, jax.Array):
             return RouteScope(None)
-    return RouteScope(_cpu())
+    return RouteScope(cpu_device())

@@ -59,15 +59,18 @@ def _env_kind(value: str) -> str:
 
 
 def enable_cache(directory: Optional[str] = None,
-                 min_compile_time_secs: float = 1.0) -> str:
+                 min_compile_time_secs: float = 0.2) -> str:
     """Turn on JAX's persistent compilation cache.
 
     ``directory`` defaults to ``$OPTICOMLIB_TPU_CACHE`` (when set to a
     path; on/off-style values select/refuse the default directory), else
     :data:`DEFAULT_CACHE_DIR`.  Programs whose compile takes at least
     ``min_compile_time_secs`` are persisted (set 0 to persist
-    everything).  Safe to call more than once; later calls may move the
-    cache to a new directory.  Returns the directory in use.
+    everything; the 0.2 s default also catches the CPU-routed staged
+    device programs — locally a cache hit is a disk read, so even small
+    entries pay off in fresh processes).  Safe to call more than once;
+    later calls may move the cache to a new directory.  Returns the
+    directory in use.
     """
     global _enabled_dir
     if directory is None:

@@ -273,7 +273,7 @@ def LASER(P0, lw: Optional[float] = None, rin: Optional[float] = None,
         # split on CPU (key math is backend-invariant and a remote
         # compile round trip for it is pure waste); the draw kernels
         # move the subkeys to their compute device (ops/noise.py)
-        cpu = _backend.RouteScope(_backend.cpu_device())
+        cpu = _backend.cpu_scope()
         with cpu:
             k_ph, k_rin = jax.random.split(cpu.put(key))
 
@@ -845,7 +845,7 @@ def PD(input: OpticalSignal, BW: float, r: float = 1.0, T: float = 300.0,
 
     key = rng.resolve(key)
     if key is not None:
-        cpu = _backend.RouteScope(_backend.cpu_device())
+        cpu = _backend.cpu_scope()
         with cpu:
             k_T, k_N = jax.random.split(cpu.put(key))
 

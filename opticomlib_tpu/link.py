@@ -85,6 +85,20 @@ __all__ = ["FiberSpec", "DBPSpec", "EDFASpec", "DMSpec", "BPFSpec",
 _EYE_TRACE_KEYS = ("y", "t", "y_top", "y_bot", "y_25_75")
 
 
+def _warn_rin(bad_channels=None):
+    """One shared RuntimeWarning for clamped RIN draws (``rin_ok == 0``):
+    the fused/sharded programs clamp ``1+rin`` at 0 where the staged
+    LASER — like the reference (devices.py:492-500) — raises per draw.
+    ``bad_channels``: optional indices for the multi-channel surfaces."""
+    where = ("" if bad_channels is None
+             else f" on channel(s) {list(bad_channels)}")
+    warnings.warn(
+        f"RIN draw crossed -1 and was clamped to dark{where} (the "
+        "staged LASER raises here, reference devices.py:492-500); "
+        "decrease `rin` or change the seed.", RuntimeWarning,
+        stacklevel=3)
+
+
 def _adc_quantize(v, bits: int):
     """In-graph ADC: uniform quantization over the robust 99.99%
     shortest-interval range (reference devices.py:1616-1627; the range
@@ -773,11 +787,7 @@ class LinkProgram:
         v, slots = out[:2]
         rin_ok = float(out[-1])
         if rin_ok == 0.0:
-            warnings.warn(
-                "a RIN draw crossed -1 for this seed and was clamped to "
-                "dark (the staged LASER raises here, reference "
-                "devices.py:492-500); decrease `rin` or change the seed.",
-                RuntimeWarning, stacklevel=2)
+            _warn_rin()
         v_np = np.asarray(v)
         slots_np = np.asarray(slots)
 
@@ -903,11 +913,7 @@ class LinkProgram:
             jnp.asarray(tx.to_numpy(np.float32)), jnp.uint32(seed),
             self.consts))
         if float(rin_ok) == 0.0:
-            warnings.warn(
-                "a RIN draw crossed -1 for this seed and was clamped to "
-                "dark (the staged LASER raises here, reference "
-                "devices.py:492-500); decrease `rin` or change the seed.",
-                RuntimeWarning, stacklevel=2)
+            _warn_rin()
         out = {k: (v.item() if isinstance(v, np.ndarray) and v.ndim == 0
                    else v) for k, v in m.items()}
         for k in ("threshold", "y_left", "y_right"):
@@ -996,11 +1002,7 @@ class LinkProgram:
             jnp.uint32(seed), self.consts))
         n_err = int(n_err)
         if float(rin_ok) == 0.0:
-            warnings.warn(
-                "a RIN draw crossed -1 for this seed and was clamped to "
-                "dark (the staged LASER raises here, reference "
-                "devices.py:492-500); decrease `rin` or change the seed.",
-                RuntimeWarning, stacklevel=2)
+            _warn_rin()
         eye_obj = None
         if m:
             out = {kk: (vv.item() if isinstance(vv, np.ndarray)
@@ -1087,11 +1089,7 @@ class LinkProgram:
         rin_ok = rin_ok > 0
         if not rin_ok.all():
             bad = np.flatnonzero(~rin_ok)
-            warnings.warn(
-                f"RIN draws crossed -1 and were clamped on channel(s) "
-                f"{bad.tolist()} (the staged LASER raises here, "
-                "reference devices.py:492-500); decrease `rin` or "
-                "change the seed.", RuntimeWarning, stacklevel=2)
+            _warn_rin(bad.tolist())
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err, threshold=rth,
             mu0=mu0, mu1=mu1, s0=s0, s1=s1, er=er, eye_h=eye_h,
@@ -1190,11 +1188,7 @@ class LinkProgram:
         rth = np.asarray(rth, np.float64)
         rin_ok = np.asarray(rin_ok) > 0
         if not rin_ok.all():
-            warnings.warn(
-                f"RIN draws crossed -1 and were clamped on channel(s) "
-                f"{np.flatnonzero(~rin_ok).tolist()} (the staged LASER "
-                "raises here, reference devices.py:492-500); decrease "
-                "`rin` or change the seed.", RuntimeWarning, stacklevel=2)
+            _warn_rin(np.flatnonzero(~rin_ok).tolist())
         return SimpleNamespace(
             rin_ok=rin_ok,
             ber=n_err / (n_sym * k), n_errors=n_err, M=M,

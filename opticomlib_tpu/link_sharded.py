@@ -61,7 +61,7 @@ from scipy.constants import e, k as kB, pi
 
 from .link import (EDFASpec, FiberSpec, LinkSpec, RepeatSpec,
                    _ook_rx_ingraph, _ppm_hard_rx_ingraph, _pulse_taps,
-                   _circular_zero_phase_spectrum, _stage_plan)
+                   _circular_zero_phase_spectrum, _stage_plan, _warn_rin)
 from .ops import filters, ssfm
 from .ops.noise import gaussian_inside
 from .params import SimParams
@@ -587,12 +587,16 @@ class ShardedLinkProgram:
         bits = np.atleast_2d(np.asarray(bits, np.float32))
         seeds = np.arange(bits.shape[0], dtype=np.uint32) + np.uint32(seed)
         out = self.jitted(bits, seeds)
+        rin_ok = np.asarray(out[-1]) > 0
+        if not rin_ok.all():
+            _warn_rin(np.flatnonzero(~rin_ok).tolist())
         return SimpleNamespace(
             v=np.asarray(out[0]).squeeze(0) if out[0].shape[0] == 1
             else np.asarray(out[0]),
             slots=np.asarray(out[1]).squeeze(0) if out[1].shape[0] == 1
             else np.asarray(out[1]),
-            tx=np.asarray(bits).astype(np.uint8))
+            tx=np.asarray(bits).astype(np.uint8),
+            rin_ok=(bool(rin_ok[0]) if rin_ok.size == 1 else rin_ok))
 
     # ------------------------------------------------------------- dsp
     def _dsp_program(self, n_channels: int, nslots: int,
@@ -710,7 +714,8 @@ class ShardedLinkProgram:
             W = min(nslots, self.n_bits) * sps
 
             def prog(slots_in, info, seeds, consts):
-                v, slot_samp = self.fn(slots_in, seeds, consts)[:2]
+                full = self.fn(slots_in, seeds, consts)
+                v, slot_samp = full[:2]
                 # per-symbol argmax / slicer wants whole symbols local:
                 # re-lay the (small) slot stream channel-sharded only
                 ss = jax.lax.with_sharding_constraint(
@@ -732,7 +737,8 @@ class ShardedLinkProgram:
                         n_err = jnp.sum(rb != i_c.astype(jnp.uint8))
                         return jnp.full((), jnp.nan, jnp.float32), n_err
 
-                    return _replicated(jax.vmap(one)(ss, info))
+                    return _replicated(jax.vmap(one)(ss, info)
+                                       + (full[-1],))
 
                 # hard: eye metrology on a small channel-sharded gathered
                 # voltage window (same re-layout as _dsp_program)
@@ -745,7 +751,8 @@ class ShardedLinkProgram:
                         seed_c)
                     return rth, n_err
 
-                return _replicated(jax.vmap(one)(vw, ss, info, seeds))
+                return _replicated(jax.vmap(one)(vw, ss, info, seeds)
+                                   + (full[-1],))
 
             self._dsp_cache[key] = jax.jit(prog)
 
@@ -754,16 +761,19 @@ class ShardedLinkProgram:
         info_d = jax.device_put(
             jnp.asarray(bits.astype(np.float32)),
             NamedSharding(self.mesh, i_spec))
-        rth, n_err = jax.device_get(self._dsp_cache[key](
+        rth, n_err, rin_ok = jax.device_get(self._dsp_cache[key](
             slots_d, info_d, seeds_d, self.consts))
         n_err = np.asarray(n_err).astype(np.int64)
         rth = np.asarray(rth, np.float64)
+        rin_ok = np.asarray(rin_ok) > 0
+        if not rin_ok.all():
+            _warn_rin(np.flatnonzero(~rin_ok).tolist())
         return SimpleNamespace(ber=n_err / (n_sym * k), n_errors=n_err,
                                M=M, decision=decision,
                                n_channels=n_channels,
                                threshold=(None if np.isnan(rth).all()
                                           else rth),
-                               tx=bits.astype(np.uint8))
+                               tx=bits.astype(np.uint8), rin_ok=rin_ok)
 
     def dsp_wdm(self, n_channels: int, bits=None, seed: int = 0,
                 prbs_order: int = 15, nslots: int = 8192,
@@ -791,12 +801,7 @@ class ShardedLinkProgram:
         n_err = np.asarray(n_err).astype(np.int64)
         rin_ok = np.asarray(rin_ok) > 0
         if not rin_ok.all():
-            import warnings
-            warnings.warn(
-                f"RIN draws crossed -1 and were clamped on channel(s) "
-                f"{np.flatnonzero(~rin_ok).tolist()} (the staged LASER "
-                "raises here, reference devices.py:492-500); decrease "
-                "`rin` or change the seed.", RuntimeWarning, stacklevel=2)
+            _warn_rin(np.flatnonzero(~rin_ok).tolist())
         return SimpleNamespace(
             ber=n_err / self.n_bits, n_errors=n_err,
             threshold=np.asarray(rth),

@@ -22,7 +22,6 @@ Three ways to get keyed noise, in precedence order:
 """
 from __future__ import annotations
 
-import contextlib
 from typing import Optional, Union
 
 import jax
@@ -42,11 +41,11 @@ def _cpu_scope():
     traced seed), and on a remote accelerator runtime even the trivial
     key programs pay a multi-second cold compile round trip.  Large
     keyed draws still run on the accelerator — the noise kernels move
-    the key to their compute device (runtime/backend.RouteScope.put)."""
+    the key to their compute device (runtime/backend.RouteScope.put).
+    One policy for the whole package: :func:`opticomlib_tpu.runtime.
+    backend.cpu_scope` (the devices' split sites use it too)."""
     from .runtime import backend as _backend
-    dev = _backend.cpu_device()
-    return (jax.default_device(dev) if dev is not None
-            else contextlib.nullcontext())
+    return _backend.cpu_scope()
 
 
 def seed(n: int) -> None:

@@ -43,7 +43,8 @@ from typing import Optional
 import jax
 
 __all__ = ["small_op_threshold", "set_small_op_threshold", "route",
-           "cpu_device", "RouteScope", "DEFAULT_SMALL_OP_THRESHOLD"]
+           "cpu_device", "cpu_scope", "RouteScope",
+           "DEFAULT_SMALL_OP_THRESHOLD"]
 
 DEFAULT_SMALL_OP_THRESHOLD = 1 << 20  # samples
 
@@ -127,6 +128,17 @@ class RouteScope:
                 and jax.default_backend() != "cpu"):
             return jax.device_put(x, jax.local_devices()[0])
         return x
+
+
+def cpu_scope() -> RouteScope:
+    """Scope for tiny, backend-invariant work (PRNG key math): pinned to
+    the in-process CPU backend regardless of size — a remote compile
+    round trip for a key split is pure waste.  Honors the routing kill
+    switch (``OPTICOMLIB_TPU_SMALL_OP_THRESHOLD=0`` disables this too,
+    keeping every staged op on the default backend)."""
+    if small_op_threshold() <= 0:
+        return RouteScope(None)
+    return RouteScope(cpu_device())
 
 
 def route(n_samples: int, *payloads) -> RouteScope:

@@ -118,3 +118,13 @@ def test_staged_chain_unaffected_on_cpu():
     out2 = FIBER(mod, length=10, alpha=0.2, beta_2=-20, gamma=1.4)
 
     np.testing.assert_allclose(out1.to_numpy(), out2.to_numpy(), rtol=1e-6)
+
+
+def test_cpu_scope_honors_kill_switch(monkeypatch):
+    """OPTICOMLIB_TPU_SMALL_OP_THRESHOLD=0 disables ALL routing,
+    including the key-math CPU scope (review fix)."""
+    backend.set_small_op_threshold(0)
+    assert backend.cpu_scope().device is None
+    backend.set_small_op_threshold(1024)
+    monkeypatch.setattr(backend, "_cpu_device", jax.devices()[1])
+    assert backend.cpu_scope().device is jax.devices()[1]

@@ -107,9 +107,9 @@ def bench_ssfm_equal_accuracy():
        ~1.7e-2): the largest o4 step matching that error.  The reference
        default is loose, so the 4th-order win here is modest (~1.3x
        fewer fft+ifft pairs).
-    2. *at a tight 7.6e-3 target* (~2.2x tighter than the reference
-       default, just above the measured float32 accumulation floor of
-       ~6e-3): BOTH schemes tuned to it — the 2nd-order scheme's cost
+    2. *at a tight 8.0e-3 target* (~2.1x tighter than the reference
+       default, above the measured float32 accumulation floor; both
+       schemes land matched at ~7.6e-3): the 2nd-order scheme's cost
        grows much faster as the target tightens, so this is where the
        algorithmic lever pays (~4x fewer FFT pairs).
 

@@ -225,8 +225,10 @@ def ssfm_sharded(
     ``"local_error"`` (Sinkin adaptive stepping at ``tol``).  The
     higher-order schemes run on the pencil-FFT path with their error
     norms all-reduced over the mesh, so every device agrees on the step
-    sequence; they are not available with ``method='overlap'`` or
-    checkpointing.
+    sequence; they are not available with ``method='overlap'`` (the
+    halo width is derived for the reference step).  Checkpointing
+    composes with every scheme (the scheme is part of the config
+    fingerprint; the self-tuning controllers restart per segment).
 
     ``A``: (nsamples,) or (channels, nsamples) complex array (host or
     already device_put with the matching sharding).  Returns a sharded
@@ -263,10 +265,6 @@ def ssfm_sharded(
         raise ValueError(
             "scheme must be 'reference', 'o4' or 'local_error'")
     if scheme != "reference":
-        if ckpt_dir is not None:
-            raise ValueError(
-                f"scheme='{scheme}' does not support checkpointing yet "
-                "(use scheme='reference' with ckpt_dir)")
         if method == "overlap":
             raise ValueError(
                 f"scheme='{scheme}' needs the exact pencil-FFT path "
@@ -277,7 +275,7 @@ def ssfm_sharded(
         return _ssfm_sharded_resumable(
             A, mesh, fs, length, alpha, beta_2, beta_3, gamma, h,
             phi_max, method, halo_safety, time_axis, wdm_axis,
-            ckpt_dir, segment_km)
+            ckpt_dir, segment_km, scheme=scheme, tol=tol)
     A = jnp.asarray(A, dtype=jnp.complex64)
     n = A.shape[-1]
     n_time = mesh.shape[time_axis]
@@ -460,7 +458,8 @@ def ssfm_sharded(
 
 def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
                             gamma, h, phi_max, method, halo_safety,
-                            time_axis, wdm_axis, ckpt_dir, segment_km):
+                            time_axis, wdm_axis, ckpt_dir, segment_km,
+                            scheme="reference", tol=1e-5):
     """Segmented sharded propagation with checkpoint/resume (SURVEY §5.4;
     VERDICT round-2 item 7).  Each segment is one cached jitted sharded
     program; the field is gathered and saved after every segment.  A
@@ -483,7 +482,7 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
                alpha=alpha, beta_2=beta_2, beta_3=beta_3, gamma=gamma,
                h=h, phi_max=phi_max, method=method, segment_km=seg,
                halo_safety=halo_safety, time_axis=time_axis,
-               wdm_axis=wdm_axis,
+               wdm_axis=wdm_axis, scheme=scheme, tol=tol,
                mesh=[list(mesh.axis_names),
                      [int(d.id) for d in mesh.devices.flat]])
     ck = PropagationCheckpointer(
@@ -516,7 +515,8 @@ def _ssfm_sharded_resumable(A, mesh, fs, length, alpha, beta_2, beta_3,
         A = ssfm_sharded(A, mesh, fs, this, alpha=alpha, beta_2=beta_2,
                          beta_3=beta_3, gamma=gamma, h=h, phi_max=phi_max,
                          method=method, halo_safety=halo_safety,
-                         time_axis=time_axis, wdm_axis=wdm_axis)
+                         time_axis=time_axis, wdm_axis=wdm_axis,
+                         scheme=scheme, tol=tol)
         z += this
         step += 1
         if nproc == 1:

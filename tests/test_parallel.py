@@ -834,6 +834,53 @@ def test_ssfm_sharded_scheme_validation(devices):
     with pytest.raises(ValueError, match="pencil"):
         ssfm_sharded(A0, mesh, fs=1e11, length=5, gamma=1.0,
                      scheme="o4", method="overlap")
-    with pytest.raises(ValueError, match="checkpoint"):
+    with pytest.raises(ValueError, match="scheme"):
         ssfm_sharded(A0, mesh, fs=1e11, length=5, gamma=1.0,
-                     scheme="o4", ckpt_dir="/tmp/nope")
+                     scheme="nope", ckpt_dir="/tmp/nope")
+
+
+def test_ssfm_sharded_o4_checkpoint_resume_bitexact(devices, tmp_path):
+    """Round-5: the self-tuning schemes checkpoint/resume too — a killed
+    segmented o4 run resumes bit-identical to the uninterrupted one, and
+    the scheme is part of the config fingerprint."""
+    from opticomlib_tpu.parallel.fiber import make_link_mesh, ssfm_sharded
+    from opticomlib_tpu.runtime.checkpoint import PropagationCheckpointer
+
+    mesh = make_link_mesh(n_wdm=1, n_time=4, devices=devices[:4])
+    rng = np.random.default_rng(9)
+    n = 2048
+    A = ((rng.normal(size=n) + 1j * rng.normal(size=n))
+         .astype(np.complex64) * 0.1)
+    cfg = dict(fs=160e9, length=8.0, alpha=0.2, beta_2=-21.0, gamma=1.3,
+               h=None, scheme="o4", tol=1e-5, wdm_axis=None)
+
+    full = np.asarray(ssfm_sharded(A, mesh, segment_km=2.0,
+                                   ckpt_dir=str(tmp_path / "full"), **cfg))
+
+    crash_dir = str(tmp_path / "crash")
+    orig_save = PropagationCheckpointer.save
+    calls = {"n": 0}
+
+    def dying_save(self, *a, **kw):
+        out = orig_save(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash after segment 2")
+        return out
+
+    PropagationCheckpointer.save = dying_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ssfm_sharded(A, mesh, segment_km=2.0, ckpt_dir=crash_dir,
+                         **cfg)
+    finally:
+        PropagationCheckpointer.save = orig_save
+
+    resumed = np.asarray(ssfm_sharded(A, mesh, segment_km=2.0,
+                                      ckpt_dir=crash_dir, **cfg))
+    np.testing.assert_array_equal(resumed, full)
+
+    # a different scheme in the same dir is a different propagation
+    with pytest.raises(ValueError, match="different"):
+        ssfm_sharded(A, mesh, segment_km=2.0, ckpt_dir=crash_dir,
+                     **dict(cfg, scheme="local_error"))

@@ -347,3 +347,27 @@ def test_fiber_spec_validation_new_methods():
         FiberSpec(length=10, tol=0.0)
     # o4 with h=None is now legal (self-tuning)
     FiberSpec(length=10, method="o4")
+
+
+def test_repeat_block_with_self_tuning_schemes():
+    """RepeatSpec lowers to ONE lax.scan whose body may contain the
+    self-tuning while_loop schemes (round-5): a 3-span o4-auto repeat
+    with per-span DBP inverts the chain."""
+    L, kw = 15.0, dict(alpha=0.2, beta_2=-21.0, gamma=1.3)
+    f0 = _field(_spec(()))
+    f_rt = _field(_spec((
+        RepeatSpec(3, (FiberSpec(length=L, method="o4", tol=1e-5, **kw),
+                       EDFASpec(G=0.2 * L))),
+        RepeatSpec(3, (DBPSpec(length=L, method="o4", tol=1e-5,
+                               undo_gain_dB=0.2 * L, **kw),)),
+    )))
+    err = np.linalg.norm(f_rt - f0) / np.linalg.norm(f0)
+    assert err < 5e-3, err
+
+    f_le = _field(_spec((
+        RepeatSpec(2, (FiberSpec(length=L, method="local_error",
+                                 tol=1e-6, **kw),)),)))
+    f_ref = _field(_spec((
+        RepeatSpec(2, (FiberSpec(length=L, phi_max=0.001, **kw),)),)))
+    err2 = np.linalg.norm(f_le - f_ref) / np.linalg.norm(f_ref)
+    assert err2 < 5e-3, err2
